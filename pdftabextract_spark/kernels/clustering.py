@@ -1,0 +1,305 @@
+"""1-D clustering and grid-model-fitting kernels.
+
+Numeric semantics match /root/reference/pdftabextract/clustering.py (cited
+per function), re-derived as vectorized numpy. These kernels are used three
+ways: (a) directly in pytest (they carry the ported reference test suite),
+(b) inside Arrow-batched pandas UDF stages, (c) on the driver for the tiny
+corpus-level model fit (pooled centers are at most pages x columns floats).
+"""
+
+import itertools
+
+import numpy as np
+
+from .stats import chisquare
+
+
+def find_clusters_1d_break_dist(vals, dist_thresh):
+    """Sort values, break into clusters wherever the gap between adjacent
+    sorted values is >= dist_thresh (strict >= — parity: clustering.py:46).
+
+    Returns a list of np.ndarray of *original indices* into ``vals``; each
+    cluster's indices are ordered by sorted position. Empty input -> [].
+    Parity: clustering.py:23-55.
+    """
+    if type(vals) is not np.ndarray:
+        raise TypeError("vals must be a NumPy array")
+    if dist_thresh < 0:
+        raise ValueError("dist_thresh must be positive")
+
+    n = len(vals)
+    if n == 0:
+        return []
+
+    order = np.argsort(vals, kind="stable")
+    svals = vals[order]
+    # break before position i when svals[i] - svals[i-1] >= dist_thresh
+    breaks = np.flatnonzero(np.diff(svals) >= dist_thresh) + 1
+    return [np.array(chunk) for chunk in np.split(order, breaks)]
+
+
+def break_dist_cluster_ids(vals, dist_thresh):
+    """Vectorized variant returning a cluster-id per element (ids assigned
+    in ascending-value order), for columnar pipelines. Same break semantics
+    as :func:`find_clusters_1d_break_dist`."""
+    vals = np.asarray(vals)
+    n = len(vals)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    svals = vals[order]
+    new_cluster = np.empty(n, dtype=np.int64)
+    new_cluster[0] = 0
+    new_cluster[1:] = (np.diff(svals) >= dist_thresh).astype(np.int64)
+    ids_sorted = np.cumsum(new_cluster)
+    ids = np.empty(n, dtype=np.int64)
+    ids[order] = ids_sorted
+    return ids
+
+
+def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"):
+    """Hierarchical clustering of 1-D values (scipy is unavailable; this is
+    a native implementation of the case the reference exercises).
+
+    For 1-D data, single-linkage flat clustering with the 'distance'
+    criterion is exactly: merge adjacent sorted values while the gap is
+    <= t (cophenetic distance of a single-linkage chain is the max gap).
+    Reference behavior: clustering.py:58-72 (fclusterdata + np.unique
+    relabel). Cluster ordering follows ascending value, matching the
+    np.unique(ind) relabel for 1-D sorted data.
+    """
+    if method != "single" or criterion != "distance":
+        raise NotImplementedError(
+            "only method='single', criterion='distance' hierarchical "
+            "clustering is supported natively (scipy not available)")
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    if n == 0:
+        return []
+    order = np.argsort(vals, kind="stable")
+    svals = vals[order]
+    breaks = np.flatnonzero(np.diff(svals) > t) + 1  # strict >: gap<=t merges
+    return [np.sort(chunk) for chunk in np.split(order, breaks)]
+
+
+def zip_clusters_and_values(clusters, values):
+    """Pair cluster index arrays with their value arrays.
+    Parity: clustering.py:370-385."""
+    if type(values) is not np.ndarray:
+        raise TypeError("values must be a NumPy array")
+    return [(c_ind, values[c_ind]) for c_ind in clusters]
+
+
+def calc_cluster_centers_1d(clusters_w_vals, method=np.median):
+    """Cluster centers via ``method`` (exact numpy median by default — even
+    counts average the middle two). Parity: clustering.py:388-394."""
+    return [method(vals) for _, vals in clusters_w_vals]
+
+
+def array_match_difference_1d(a, b):
+    """Summed absolute elementwise difference (L1).
+    Parity: clustering.py:397-410."""
+    if len(a) != len(b):
+        raise ValueError("Both arrays must have the same length")
+    if len(a) == 0:
+        raise ValueError("Arrays must be filled")
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return np.sum(np.abs(a - b))
+
+
+def fill_array_a_with_values_from_b(a, b, fill_indices):
+    """Interleave: build an array of len(b) taking b's values at
+    ``fill_indices`` and a's values (in order) elsewhere.
+    Parity: /root/reference/pdftabextract/common.py:362-391."""
+    if type(a) is not np.ndarray:
+        raise TypeError("'a' must be NumPy array")
+    if type(b) is not np.ndarray:
+        raise TypeError("'b' must be NumPy array")
+    if len(fill_indices) != len(b) - len(a):
+        raise ValueError("Invalid number of indices")
+
+    fill_set = list(fill_indices)
+    out = []
+    j = 0  # position in fill_set
+    k = 0  # position in a
+    for i in range(len(b)):
+        if j < len(fill_set) and i == fill_set[j]:
+            out.append(b[fill_set[j]])
+            j += 1
+        else:
+            out.append(a[k])
+            k += 1
+    return np.array(out)
+
+
+def find_best_matching_array(base_arr, model_arr, same_size_use_model_arr_diff_thresh=None):
+    """Repair ``base_arr`` against a normalized ``model_arr`` (model starts
+    at 0; base's first element is the offset): brute-force over surplus
+    deletions / missing insertions, minimizing L1 difference; ties resolve
+    to the first candidate in itertools.combinations order (Python sort
+    stability). Returns (best_arr, diffsum).
+    Parity: clustering.py:413-519 incl. golden examples
+    tests/test_clustering.py:143-170.
+    """
+    if type(base_arr) is not np.ndarray:
+        raise TypeError("base_arr must be NumPy array")
+    if type(model_arr) is not np.ndarray:
+        raise TypeError("model_arr must be NumPy array")
+    if len(base_arr) < 1:
+        raise ValueError("base_arr length must be > 0")
+    if len(model_arr) < 1:
+        raise ValueError("model_arr length must be > 0")
+
+    surplus = len(base_arr) - len(model_arr)
+
+    if surplus > 0:
+        # try deleting every combination of surplus elements from base
+        best_arr, diff = None, None
+        for del_ind in itertools.combinations(range(len(base_arr)), surplus):
+            cand = np.delete(base_arr, del_ind)
+            d = array_match_difference_1d(cand, model_arr + cand[0])
+            if diff is None or d < diff:
+                best_arr, diff = cand, d
+    elif surplus < 0:
+        # delete from the model instead; best deletion set tells us which
+        # model positions to splice into base
+        best_del, best_d = None, None
+        for del_ind in itertools.combinations(range(len(model_arr)), -surplus):
+            cand = np.delete(model_arr, del_ind)
+            d = array_match_difference_1d(cand + base_arr[0], base_arr)
+            if best_d is None or d < best_d:
+                best_del, best_d = del_ind, d
+        model_w_offset = model_arr + base_arr[0]
+        best_arr = fill_array_a_with_values_from_b(base_arr, model_w_offset, best_del)
+        diff = array_match_difference_1d(best_arr, model_w_offset)
+    else:
+        best_arr = base_arr.copy()
+        diff = array_match_difference_1d(base_arr, model_arr + base_arr[0])
+
+    if same_size_use_model_arr_diff_thresh is not None and diff > same_size_use_model_arr_diff_thresh:
+        best_arr = model_arr + base_arr[0]
+        diff = 0
+
+    return best_arr, diff
+
+
+def fit_center_model(centers_norm_clusters, n_required_clusters):
+    """Phase 2 of the corpus column-model fit: from pooled normalized
+    per-page centers already clustered (list of (indices, values) tuples),
+    iteratively pick cluster medians from the most-populous clusters down
+    until exactly ``n_required_clusters`` medians are kept; degrade to all
+    medians when too few clusters exist. Sequential-stateful by design —
+    runs on the driver over a tiny pooled array.
+    Parity: clustering.py:111-140.
+    """
+    if len(centers_norm_clusters) < n_required_clusters:
+        return np.array(sorted(np.median(vals) for _, vals in centers_norm_clusters)), False
+
+    medians = []
+    clusters = list(centers_norm_clusters)
+    min_n_start = max(len(ind) for ind, _ in clusters)
+    for min_n_values in range(min_n_start, 0, -1):
+        remove_ids = []
+        done = False
+        for i, (_, vals) in enumerate(clusters):
+            m = np.median(vals)
+            if len(vals) >= min_n_values and m not in medians:
+                medians.append(m)
+                remove_ids.append(i)
+            if len(medians) == n_required_clusters:
+                done = True
+                break
+        if done:
+            break
+        clusters = [c for i, c in enumerate(clusters) if i not in remove_ids]
+
+    assert len(medians) == n_required_clusters
+    return np.array(sorted(medians)), True
+
+
+def get_adjusted_cluster_centers(clusters, n_required_clusters,
+                                 find_center_clusters_method, **kwargs):
+    """Corpus-level column/row model fit + per-page repair.
+
+    ``clusters``: dict page -> clusters_with_values (list of (ind, vals)).
+    Phase 1: per-page centers (median), normalized to start at 0, pooled.
+    Phase 2: cluster the pooled normalized centers and filter to exactly
+    ``n_required_clusters`` medians (:func:`fit_center_model`).
+    Phase 3: per page, repair centers against the model via
+    :func:`find_best_matching_array`, then divide by per-page
+    ``image_scaling``. Parity: clustering.py:77-165.
+
+    In the Spark pipeline phases 1 and 3 run distributed (groupBy agg /
+    applyInPandas); phase 2 runs here on the collected pooled centers
+    (~pages x columns floats — broadcast-sized by construction).
+    """
+    return_diffsums = kwargs.pop("return_center_clusters_diffsums", False)
+    image_scaling = kwargs.pop("image_scaling", None)
+    same_size_thresh = kwargs.pop("arr_matching_same_size_use_model_arr_diff_thresh", None)
+
+    page_centers = {p: np.array(calc_cluster_centers_1d(cw)) for p, cw in clusters.items()}
+
+    pooled = []
+    for centers in page_centers.values():
+        pooled.extend(centers - centers[0])
+    pooled = np.array(pooled)
+
+    pooled_cluster_ind = find_center_clusters_method(pooled, **kwargs)
+    pooled_clusters = zip_clusters_and_values(pooled_cluster_ind, pooled)
+
+    model, _ = fit_center_model(pooled_clusters, n_required_clusters)
+
+    adjusted = {}
+    diffsums = {} if return_diffsums else None
+    for p, centers in page_centers.items():
+        fixed, diff = find_best_matching_array(
+            centers, model, same_size_use_model_arr_diff_thresh=same_size_thresh)
+        if image_scaling is not None:
+            fixed = fixed / image_scaling[p]
+        adjusted[p] = fixed
+        if return_diffsums:
+            diffsums[p] = diff
+
+    if return_diffsums:
+        return adjusted, diffsums
+    return adjusted
+
+
+def adjust_bad_positions(positions_per_page, good_positions=None, pos_check_signif_level=0.05):
+    """Column-position sanity repair via chi-square width test.
+
+    Good pages = those whose position count equals the corpus median count;
+    mean widths = columnwise mean of good positions' diffs. Pages failing a
+    chi-square test of widths vs mean widths (p < alpha), having the wrong
+    count, or having negative widths are replaced by
+    first_pos + cumsum(mean_widths). Parity: clustering.py:319-365.
+    """
+    if not 0 < pos_check_signif_level <= 1:
+        raise ValueError("`signif_level` must be in range (0,1]")
+    if not positions_per_page or not isinstance(positions_per_page, dict):
+        raise ValueError("`positions_per_page` must be a non-empty dict")
+
+    median_n = int(np.median([len(p) for p in positions_per_page.values()]))
+
+    if not good_positions:
+        good_positions = [p for p in positions_per_page.values() if len(p) == median_n]
+    if not good_positions:
+        return positions_per_page
+
+    mean_widths = np.diff([np.mean(col) for col in zip(*good_positions)])
+    if mean_widths.min() < 0:
+        raise ValueError("invalid positions: got negative mean width")
+
+    adjusted = {}
+    for p_num, positions in positions_per_page.items():
+        if len(positions) != median_n or min(np.diff(positions)) < 0:
+            p_val = 0.0
+        else:
+            _, p_val = chisquare(np.diff(positions), mean_widths)
+
+        if p_val < pos_check_signif_level:
+            positions = np.concatenate([[positions[0]], positions[0] + np.cumsum(mean_widths)])
+        adjusted[p_num] = positions
+
+    return adjusted

@@ -1,0 +1,246 @@
+"""Image-analysis kernels: edge detection + Hough line transform + page
+rotation/skew estimation, pure numpy (OpenCV is not available in this
+environment; these are native implementations of the public algorithms the
+reference delegates to cv2 — Canny edges + standard Hough accumulator —
+with deterministic output).
+
+Reference behavior being reproduced: ImageProc.detect_lines and the
+rotation/skew analytics (/root/reference/pdftabextract/imgproc.py:54-73,
+189-275, 453-471). The Hough (rho, theta) parameterization matches
+OpenCV's: rho = x*cos(theta) + y*sin(theta), theta in [0, pi), rho may be
+negative; lines returned sorted by descending votes (ties: ascending rho,
+theta) so output order is deterministic across runs.
+"""
+
+import math
+
+import numpy as np
+
+from .geom import normalize_angle, hough_line_midpoints
+
+PIHLF = np.pi / 2
+PI4TH = np.pi / 4
+
+DIRECTION_HORIZONTAL = "h"
+DIRECTION_VERTICAL = "v"
+ROTATION = "r"
+SKEW_X = "sx"
+SKEW_Y = "sy"
+
+
+def grayscale(img):
+    """RGB(A)/gray uint8 array -> gray float. BT.601 luma like
+    cv2.COLOR_BGR2GRAY (channel order here is RGB)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        return a.astype(float)
+    r, g, b = a[..., 0].astype(float), a[..., 1].astype(float), a[..., 2].astype(float)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def edges_simple(gray, low_thresh=50, high_thresh=150):
+    """Gradient-magnitude edge map (binary). A deterministic stand-in for
+    cv2.Canny sufficient for ruled-line documents: Sobel gradient
+    magnitude thresholded at high_thresh (no hysteresis/NMS — ruled lines
+    are high-contrast so the simplification keeps the same line support).
+    """
+    g = np.asarray(gray, dtype=float)
+    gx = np.zeros_like(g)
+    gy = np.zeros_like(g)
+    gx[:, 1:-1] = g[:, 2:] - g[:, :-2]
+    gy[1:-1, :] = g[2:, :] - g[:-2, :]
+    mag = np.hypot(gx, gy)
+    return mag >= high_thresh
+
+
+def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
+    """Standard Hough transform over a boolean edge map.
+
+    Returns an (L, 2) float array of (rho, theta) rows, sorted by
+    descending votes then (rho, theta); same parameterization as
+    cv2.HoughLines so downstream parity code (imgproc.py:453-471) applies
+    unchanged.
+    """
+    ys, xs = np.nonzero(edges)
+    if len(xs) == 0:
+        return np.empty((0, 2), dtype=float)
+
+    h, w = edges.shape
+    thetas = np.arange(0, np.pi, theta_res)
+    n_theta = len(thetas)
+    diag = math.hypot(w, h)
+    n_rho = int(math.ceil(diag / rho_res)) * 2 + 1
+    rho_offset = (n_rho - 1) // 2
+
+    cos_t = np.cos(thetas)
+    sin_t = np.sin(thetas)
+
+    acc = np.zeros((n_rho, n_theta), dtype=np.int64)
+    # chunk edge pixels to bound the (pixels x thetas) temp matrix
+    chunk = max(1, int(4_000_000 / max(n_theta, 1)))
+    for s in range(0, len(xs), chunk):
+        xc = xs[s:s + chunk, None].astype(float)
+        yc = ys[s:s + chunk, None].astype(float)
+        rho = xc * cos_t[None, :] + yc * sin_t[None, :]
+        rho_idx = np.rint(rho / rho_res).astype(np.int64) + rho_offset
+        flat = rho_idx * n_theta + np.arange(n_theta, dtype=np.int64)[None, :]
+        acc += np.bincount(flat.ravel(), minlength=n_rho * n_theta).reshape(n_rho, n_theta)
+
+    hit_r, hit_t = np.nonzero(acc >= votes_thresh)
+    if len(hit_r) == 0:
+        return np.empty((0, 2), dtype=float)
+    votes = acc[hit_r, hit_t]
+    rhos = (hit_r - rho_offset) * rho_res
+    ths = thetas[hit_t]
+    order = np.lexsort((ths, rhos, -votes))
+    return np.stack([rhos[order], ths[order]], axis=1)
+
+
+def classify_hough_lines(lines):
+    """Enrich (rho, theta) rows with theta_norm and direction.
+
+    Vertical iff |pi/2 - theta_norm| > pi/4, else horizontal.
+    Parity: imgproc.py:453-471. Returns list of tuples
+    (rho, theta, theta_norm, direction)."""
+    out = []
+    for rho, theta in ((l[0], l[1]) for l in lines):
+        tn = normalize_angle(theta)
+        direction = DIRECTION_VERTICAL if abs(PIHLF - tn) > PI4TH else DIRECTION_HORIZONTAL
+        out.append((float(rho), float(theta), float(tn), direction))
+    return out
+
+
+def line_deviations(theta_norm, direction):
+    """Per-line angle deviation used for rotation/skew estimation.
+
+    Vertical lines: dev = -theta_norm, +pi if < -pi/2, then negated.
+    Horizontal: dev = -(pi/2 - theta_norm).
+    Parity: imgproc.py:214-228."""
+    theta_norm = np.asarray(theta_norm, dtype=float)
+    is_v = np.asarray(direction) == DIRECTION_VERTICAL
+    dev_v = -theta_norm
+    dev_v = np.where(dev_v < -PIHLF, dev_v + np.pi, dev_v)
+    dev_v = -dev_v
+    dev_h = -(PIHLF - theta_norm)
+    return np.where(is_v, dev_v, dev_h)
+
+
+def find_rotation_or_skew(lines_hough, rot_thresh, rot_same_dir_thresh,
+                          omit_on_rot_thresh=None, only_direction=None):
+    """Decide page ROTATION / SKEW_X / SKEW_Y from classified Hough lines.
+
+    Returns ((type|None, radians|None), filtered_lines) where
+    filtered_lines reflects the optional stray-line filter side effect
+    (lines whose |dev| is farther than omit_on_rot_thresh from their
+    direction's |median dev| get dropped). Parity: imgproc.py:189-275.
+    """
+    if not lines_hough:
+        raise ValueError("no lines present")
+    if only_direction is not None and only_direction not in (DIRECTION_HORIZONTAL, DIRECTION_VERTICAL):
+        raise ValueError("invalid only_direction %r" % only_direction)
+
+    hori_dev, vert_dev = [], []
+    lines_w_dev = [] if omit_on_rot_thresh is not None else None
+
+    for rho, theta, theta_norm, line_dir in lines_hough:
+        if line_dir == DIRECTION_VERTICAL and only_direction in (None, DIRECTION_VERTICAL):
+            d = -theta_norm
+            if d < -PIHLF:
+                d += np.pi
+            vert_dev.append(-d)
+            dev = d
+        elif line_dir == DIRECTION_HORIZONTAL and only_direction in (None, DIRECTION_HORIZONTAL):
+            dev = PIHLF - theta_norm
+            hori_dev.append(-dev)
+        else:
+            dev = None
+        if omit_on_rot_thresh is not None and dev is not None:
+            lines_w_dev.append((rho, theta, theta_norm, line_dir, -dev))
+
+    median_h = np.median(hori_dev) if hori_dev else None
+    median_v = np.median(vert_dev) if vert_dev else None
+    h_above = median_h is not None and abs(median_h) > rot_thresh
+    v_above = median_v is not None and abs(median_v) > rot_thresh
+
+    filtered = lines_hough
+    if omit_on_rot_thresh is not None:
+        filtered = []
+        for rho, theta, theta_norm, line_dir, dev in lines_w_dev:
+            dir_dev = median_h if line_dir == DIRECTION_HORIZONTAL else median_v
+            if dir_dev is None or abs(abs(dir_dev) - abs(dev)) < omit_on_rot_thresh:
+                filtered.append((rho, theta, theta_norm, line_dir))
+
+    if h_above and v_above:
+        if abs(median_h - median_v) < rot_same_dir_thresh:
+            return (ROTATION, (median_h + median_v) / 2), filtered
+        return (None, None), filtered
+    if h_above:
+        return (SKEW_Y, median_h), filtered
+    if v_above:
+        return (SKEW_X, median_v), filtered
+    return (None, None), filtered
+
+
+def apply_rotation_or_skew(lines_hough, rs_type, rs_radians):
+    """Add the found radians to theta of affected-direction lines and
+    re-normalize. Parity: imgproc.py:153-176."""
+    if rs_type is None or rs_radians is None:
+        return list(lines_hough)
+    if rs_type == ROTATION:
+        only = None
+    else:
+        only = DIRECTION_HORIZONTAL if rs_type == SKEW_Y else DIRECTION_VERTICAL
+    out = []
+    for rho, theta, theta_norm, line_dir in lines_hough:
+        if only is None or line_dir == only:
+            theta = theta + rs_radians
+            theta_norm = normalize_angle(theta)
+        out.append((rho, theta, theta_norm, line_dir))
+    return out
+
+
+def line_positions_in_direction(lines_hough, direction, img_w, img_h):
+    """1-D midpoint positions of lines of one direction (x for vertical,
+    y for horizontal), via canvas projection. Parity: imgproc.py:306-314."""
+    sel = [l for l in lines_hough if l[3] == direction]
+    if not sel:
+        return np.array([]), sel
+    coord_idx = 0 if direction == DIRECTION_VERTICAL else 1
+    rhos = [l[0] for l in sel]
+    thetas = [l[1] for l in sel]
+    return hough_line_midpoints(rhos, thetas, img_w, img_h, coord_idx), sel
+
+
+def remove_empty_cluster_sections(clusters_w_vals, box_lo, box_hi,
+                                  n_texts_ratio, scaling, center_fn=np.median):
+    """Drop line clusters whose preceding band contains too few textboxes.
+
+    ``box_lo``/``box_hi`` are the relevant box border arrays (left/right
+    for vertical clusters, top/bottom for horizontal). A box counts for a
+    band (prev_center, center] when either border falls inside. Threshold =
+    round(median(band counts) * ratio); the cluster immediately before the
+    first kept cluster is re-included. Parity: imgproc.py:330-360.
+    """
+    wc = [(ind, vals, center_fn(vals) / scaling) for ind, vals in clusters_w_vals]
+    wc.sort(key=lambda x: x[2])
+    counts = []
+    prev_center = -1
+    box_lo = np.asarray(box_lo, dtype=float)
+    box_hi = np.asarray(box_hi, dtype=float)
+    for ind, vals, center in wc:
+        in_band = ((box_lo > prev_center) & (box_lo <= center)) | \
+                  ((box_hi > prev_center) & (box_hi <= center))
+        counts.append((ind, vals, int(np.sum(in_band))))
+        prev_center = center
+
+    max_n = np.median([c[2] for c in counts]) if counts else 0
+    thresh = round(max_n * n_texts_ratio)
+    kept = []
+    prev_clust = None
+    for ind, vals, n in counts:
+        if n >= thresh:
+            if not kept and prev_clust is not None:
+                kept.append(prev_clust)
+            kept.append((ind, vals))
+        prev_clust = (ind, vals)
+    return kept

@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local sandbox runs on local[N]; the same settings map to multi-executor
+clusters (AQE, skew join, Arrow batching). Shuffle partitions default to
+the core count — the per-page group keys used throughout the engine give
+far more groups than partitions at any realistic scale, so AQE coalescing
+handles small inputs while large inputs spread evenly.
+"""
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name="pdftabextract_spark", cores=None, shuffle_partitions=None,
+              arrow_max_records=2048, extra_conf=None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 8)
+
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # one Arrow batch ~ a bounded number of pages/boxes per Python call
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,242 @@
+"""Port of /root/reference/tests/test_clustering.py against the engine's
+clustering kernels, plus added coverage for the vectorized cluster-id
+variant and the native hierarchical clustering."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+import hypothesis.strategies as st
+
+from pdftabextract_spark.kernels.clustering import (
+    find_clusters_1d_break_dist, break_dist_cluster_ids,
+    find_clusters_1d_hierarchical,
+    zip_clusters_and_values, calc_cluster_centers_1d,
+    array_match_difference_1d, find_best_matching_array,
+    fill_array_a_with_values_from_b, adjust_bad_positions,
+    get_adjusted_cluster_centers,
+)
+from pdftabextract_spark.kernels.stats import chisquare
+
+ints = st.integers(min_value=-10000, max_value=10000)
+
+
+@given(st.lists(ints), ints)
+def test_find_clusters_1d_break_dist(seq, delta):
+    with pytest.raises(TypeError):
+        find_clusters_1d_break_dist(seq, delta)
+
+    arr = np.array(seq)
+    if delta < 0:
+        with pytest.raises(ValueError):
+            find_clusters_1d_break_dist(arr, delta)
+        return
+
+    clusts = find_clusters_1d_break_dist(arr, delta)
+    assert type(clusts) is list
+    assert sum(map(len, clusts)) == len(seq)
+
+    idx_list = []
+    for c in clusts:
+        idx_list.extend(c)
+    assert len(idx_list) == len(seq)
+    assert np.array_equal(np.sort(arr[idx_list]), np.sort(seq))
+
+    if len(seq) > 1:
+        borders = []
+        for c in clusts:
+            v = arr[c]
+            if len(v) > 1:
+                assert max(np.diff(np.sort(v))) < delta
+            borders.append((np.min(v), np.max(v)))
+        borders.sort(key=lambda x: x[0])
+        if len(clusts) > 1:
+            gaps = [borders[i][0] - borders[i - 1][1] for i in range(1, len(borders))]
+            assert min(gaps) >= delta
+
+
+@given(st.lists(ints), st.integers(min_value=0, max_value=10000))
+def test_break_dist_cluster_ids_matches_list_variant(seq, delta):
+    arr = np.array(seq)
+    ids = break_dist_cluster_ids(arr, delta)
+    clusts = find_clusters_1d_break_dist(arr, delta) if len(seq) else []
+    assert len(ids) == len(seq)
+    # cluster membership must agree (ids are assigned in ascending-value order)
+    for cid, c in enumerate(clusts):
+        assert set(ids[c]) == {cid}
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+       st.floats(min_value=0, max_value=1e6, allow_nan=False))
+def test_hierarchical_single_linkage(seq, t):
+    arr = np.array(seq, dtype=float)
+    clusts = find_clusters_1d_hierarchical(arr, t)
+    assert sum(map(len, clusts)) == len(seq)
+    if len(seq) > 1:
+        for c in clusts:
+            v = np.sort(arr[c])
+            if len(v) > 1:
+                assert max(np.diff(v)) <= t
+
+
+@given(st.lists(ints), ints)
+def test_zip_clusters_and_values(seq, delta):
+    arr = np.array(seq)
+    try:
+        clusts = find_clusters_1d_break_dist(arr, delta)
+    except Exception:
+        return
+    with pytest.raises(TypeError):
+        zip_clusters_and_values(clusts, seq)
+    cw = zip_clusters_and_values(clusts, arr)
+    assert len(cw) == len(clusts)
+    for tup in cw:
+        assert len(tup) == 2
+        ind, vals = tup
+        assert len(ind) > 0
+        assert len(ind) == len(vals)
+        assert np.array_equal(arr[ind], vals)
+
+
+@given(st.lists(ints), ints)
+def test_calc_cluster_centers_1d(seq, delta):
+    arr = np.array(seq)
+    try:
+        clusts = find_clusters_1d_break_dist(arr, delta)
+        cw = zip_clusters_and_values(clusts, arr)
+    except Exception:
+        return
+    centers = calc_cluster_centers_1d(cw)
+    assert len(centers) == len(cw)
+    for c, (_, vals) in zip(centers, cw):
+        assert c == np.median(vals)
+
+
+@given(st.lists(ints, max_size=100), st.lists(ints, max_size=100),
+       st.booleans(), st.booleans())
+def test_array_match_difference_1d(l1, l2, l1_to_arr, l2_to_arr):
+    if l1_to_arr:
+        l1 = np.array(l1)
+    if l2_to_arr:
+        l2 = np.array(l2)
+    if len(l1) != len(l2):
+        with pytest.raises(ValueError):
+            array_match_difference_1d(l1, l2)
+        return
+    if len(l1) == 0:
+        with pytest.raises(ValueError):
+            array_match_difference_1d(l1, l2)
+        return
+    diff1 = array_match_difference_1d(l1, l2)
+    assert diff1 == array_match_difference_1d(l2, l1)
+    assert diff1 == np.sum(np.abs(np.array(l1) - np.array(l2)))
+
+
+def test_fill_array_a_with_values_from_b():
+    res = fill_array_a_with_values_from_b(
+        np.array(list("136")), np.array(list("abcdef")), [1, 3, 4])
+    assert list(res) == ["1", "b", "3", "d", "e", "6"]
+    with pytest.raises(TypeError):
+        fill_array_a_with_values_from_b(list("136"), np.array(list("abcdef")), [1, 3, 4])
+    with pytest.raises(ValueError):
+        fill_array_a_with_values_from_b(np.array(list("136")), np.array(list("abcdef")), [1])
+
+
+def test_find_best_matching_array():
+    # golden values from reference tests/test_clustering.py:143-170
+    values = [
+        [0, 10, 30, 40],
+        [0, 11, 29, 42],
+        [10, 21, 25, 39, 52],
+        [0, 9, 15, 29, 32, 41],
+        [0, 10, 29, 35, 36, 40],
+        [0, 9, 41],
+        [0, 33],
+    ]
+    correct_results = [
+        ([0, 11, 29, 42], 4),
+        ([10, 21, 39, 52], 4),
+        ([0, 9, 29, 41], 3),
+        ([0, 10, 29, 40], 1),
+        ([0, 9, 30, 41], 2),
+        ([0, 10, 33, 40], 3),
+    ]
+    model = np.array(values[0])
+    for i, row in enumerate(values[1:]):
+        corrected, diffsum = find_best_matching_array(np.array(row), model)
+        corr_row, corr_diff = correct_results[i]
+        assert np.array_equal(corrected, corr_row)
+        assert diffsum == corr_diff
+
+
+def test_find_best_matching_array_exceptions():
+    with pytest.raises(TypeError):
+        find_best_matching_array([1, 2, 3], np.array([1, 2, 3]))
+    with pytest.raises(TypeError):
+        find_best_matching_array(np.array([1, 2, 3]), [1, 2, 3])
+    with pytest.raises(ValueError):
+        find_best_matching_array(np.array([]), np.array([1, 2, 3]))
+    with pytest.raises(ValueError):
+        find_best_matching_array(np.array([1, 2, 3]), np.array([]))
+
+
+@settings(deadline=None)
+@given(st.lists(ints, min_size=1, max_size=12),
+       st.lists(st.lists(ints, min_size=1, max_size=12), min_size=1, max_size=10))
+def test_find_best_matching_array_hypothesis(model, trials):
+    model = np.array(model)
+    for row in trials:
+        corrected, diffsum = find_best_matching_array(np.array(row), model)
+        assert len(corrected) == len(model)
+        assert diffsum >= 0
+
+
+def test_adjust_bad_positions():
+    pages_positions = {
+        0: [8, 28, 33, 38],
+        1: [10, 30, 35, 40],
+        2: [10, 30, 35, 40],
+        3: [0, 20, 25, 32],
+        4: [3, 21, 25, 31],
+        5: [3, 21, 25, 31],
+    }
+    mean_widths = np.diff([np.mean(pos) for pos in zip(*pages_positions.values())])
+    pages_positions.update({
+        6: [3, 21, 20, 31],
+        7: [3, 21, 25, 28, 31],
+        8: [3, 21, 25, 70],
+    })
+    alpha = 0.05
+    adj = adjust_bad_positions(pages_positions, pos_check_signif_level=alpha)
+    assert pages_positions.keys() == adj.keys()
+    for p_num in pages_positions:
+        orig, a = pages_positions[p_num], adj[p_num]
+        assert len(a) == 4
+        assert a[0] == orig[0]
+        _, p_val = chisquare(np.diff(a), mean_widths)
+        assert p_val >= alpha
+
+
+def test_get_adjusted_cluster_centers_golden():
+    # three pages; page 2 misses a column, page 3 has a stray extra center
+    def cw(vals, delta):
+        arr = np.array(vals, dtype=float)
+        return zip_clusters_and_values(find_clusters_1d_break_dist(arr, delta), arr)
+
+    clusters = {
+        1: cw([100, 101, 200, 201, 300, 301, 400, 401], 50),
+        2: cw([150, 151, 250, 251, 450, 451], 50),
+        3: cw([120, 121, 220, 221, 320, 321, 420, 421, 490], 50),
+    }
+    adjusted = get_adjusted_cluster_centers(
+        clusters, n_required_clusters=4,
+        find_center_clusters_method=find_clusters_1d_break_dist,
+        dist_thresh=25)
+    assert set(adjusted) == {1, 2, 3}
+    for p, centers in adjusted.items():
+        assert len(centers) == 4
+        diffs = np.diff(centers)
+        assert np.all(diffs > 50)
+    # page 1 detected all four columns -> unchanged medians
+    assert np.allclose(adjusted[1], [100.5, 200.5, 300.5, 400.5])
+    # page 2's missing column is interpolated from the corpus model
+    assert np.allclose(np.diff(adjusted[2]), [100, 100, 100], atol=1.0)
