@@ -1,0 +1,72 @@
+"""1-D break-distance clustering as a window computation (gaps-and-islands).
+
+This is the DataFrame-native form of the kernel
+find_clusters_1d_break_dist (/root/reference/pdftabextract/clustering.py:23-55):
+per group, sort by value, start a new cluster wherever the gap to the
+previous value is >= dist_thresh, assign cluster ids by cumulative sum.
+Entirely JVM-side (whole-stage codegen); the shuffle is the
+partitionBy(group) exchange, which downstream stages reuse.
+"""
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def with_cluster_ids(df: DataFrame, value_col: str, dist_thresh: float,
+                     group_cols, cluster_col: str = "cluster_id") -> DataFrame:
+    """Add ``cluster_col``: 0-based cluster id per group, ascending by value.
+
+    Break semantics are the kernel's strict >= on gaps. Ties in ``value``
+    never break (gap 0 < thresh for thresh > 0; thresh == 0 puts every
+    element in its own cluster exactly like the kernel).
+    """
+    w = W.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    gap = F.col(value_col) - F.lag(value_col).over(w)
+    is_break = F.when(gap >= F.lit(float(dist_thresh)), 1).otherwise(0)
+    cum = W.partitionBy(*group_cols).orderBy(F.col(value_col).asc()) \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(cluster_col, F.sum(is_break).over(cum))
+
+
+def cluster_centers(df: DataFrame, value_col: str, dist_thresh: float,
+                    group_cols, center="median") -> DataFrame:
+    """Group -> one row per cluster with exact center and member count.
+
+    ``center``: 'median' (exact percentile — numpy-median parity incl. the
+    even-count midpoint mean), 'min', 'max', or 'mean'.
+    """
+    clustered = with_cluster_ids(df, value_col, dist_thresh, group_cols)
+    if center == "median":
+        center_expr = F.expr(f"percentile({value_col}, 0.5)")
+    elif center == "min":
+        center_expr = F.min(value_col)
+    elif center == "max":
+        center_expr = F.max(value_col)
+    elif center == "mean":
+        center_expr = F.avg(value_col)
+    else:
+        raise ValueError("unknown center %r" % center)
+    return (
+        clustered.groupBy(*group_cols, "cluster_id")
+        .agg(center_expr.alias("center"), F.count("*").alias("n"))
+    )
+
+
+def global_cluster_summary(df: DataFrame, value_col: str, dist_thresh: float) -> DataFrame:
+    """Cluster ALL rows (no grouping) and return (center, n) per cluster.
+
+    Used for the corpus-level column-model fit over pooled normalized
+    centers: input size is ~pages x columns doubles, so the single-ordering
+    window is cheap relative to everything else; at extreme corpus sizes
+    the model fit is sharded per layout family before this point
+    (SURVEY.md §7 'Global model fitting').
+    """
+    w = W.orderBy(F.col(value_col).asc())
+    gap = F.col(value_col) - F.lag(value_col).over(w)
+    is_break = F.when(gap >= F.lit(float(dist_thresh)), 1).otherwise(0)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    clustered = df.withColumn("cluster_id", F.sum(is_break).over(cum))
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("center"),
+             F.count("*").alias("n"))
+    )

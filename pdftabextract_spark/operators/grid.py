@@ -1,0 +1,143 @@
+"""Grid construction + textbox->cell assignment + cell-text materialization.
+
+The assignment is the reference's interval theta-join with argmax
+(/root/reference/pdftabextract/extract.py:46-117). Two implementations:
+
+* ``assign_cells_cogrouped`` (default): cogrouped applyInPandas over
+  (doc_id, page) — boxes and the page's border arrays meet without
+  duplicating the arrays per box; the numpy broadcast kernel
+  (kernels.gridfit) scores boxes x cells per page. Co-partitioned by the
+  page key, so the only shuffle is the groupBy exchange both inputs need
+  anyway. Skew-safe: a page is the natural unit of work (boxes-per-page is
+  bounded), group keys are (doc_id, page), never doc_id alone.
+
+* ``assign_cells_sql``: pure-SQL variant (explode cells, range-predicate
+  join, window argmax) kept for oracle cross-checking — same semantics,
+  more shuffle; used by the correctness suite, not the hot path.
+
+Cell text parity: join_texts (textboxes.py:154-162) — sort by left (stable
+by box order), join with ' ', strip.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+_ASSIGN_SCHEMA = ("doc_id string, page int, box_id int, left double, "
+                  "value string, row_idx int, col_idx int")
+
+
+def assign_cells_cogrouped(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+    """boxes(doc_id,page,box_id,left,top,width,height,value) x
+    positions(doc_id,page,col_positions,row_positions) ->
+    (doc_id,page,box_id,left,value,row_idx,col_idx); unmatched boxes get
+    row_idx = col_idx = -1 (the reference's unmatched_texts anti-set)."""
+    import pandas as pd
+    from ..kernels.gridfit import fit_page_boxes
+
+    def fit(key, boxes_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id, page = key
+        if len(pos_pdf) == 0 or len(boxes_pdf) == 0:
+            return pd.DataFrame(columns=[
+                "doc_id", "page", "box_id", "left", "value", "row_idx", "col_idx"])
+        col_pos = pos_pdf.iloc[0]["col_positions"]
+        row_pos = pos_pdf.iloc[0]["row_positions"]
+        out = fit_page_boxes(boxes_pdf, col_pos, row_pos)
+        out["doc_id"] = doc_id
+        out["page"] = page
+        return out[["doc_id", "page", "box_id", "left", "value", "row_idx", "col_idx"]]
+
+    return (
+        boxes.groupBy("doc_id", "page")
+        .cogroup(positions.groupBy("doc_id", "page"))
+        .applyInPandas(fit, schema=_ASSIGN_SCHEMA)
+    )
+
+
+def assign_cells_sql(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+    """Relational formulation: explode the grid, join on the candidate
+    range predicates, window-argmax per box. Exact same candidate and
+    tie-break semantics as the kernel."""
+    from pyspark.sql import Window as W
+
+    cells = cells_from_positions(positions)
+    b = boxes.select(
+        "doc_id", "page", "box_id", "left", "top", "value",
+        (F.col("left") + F.col("width")).alias("right"),
+        (F.col("top") + F.col("height")).alias("bottom"),
+    )
+    j = b.join(cells, ["doc_id", "page"])
+    row_ok = (
+        ((F.col("cell_t") <= F.col("top")) & (F.col("top") <= F.col("cell_b")))
+        | ((F.col("cell_t") <= F.col("bottom")) & (F.col("bottom") <= F.col("cell_b")))
+        | ((F.col("top") <= F.col("cell_t")) & (F.col("bottom") >= F.col("cell_b")))
+    )
+    col_ok = (
+        ((F.col("cell_l") <= F.col("left")) & (F.col("left") <= F.col("cell_r")))
+        | ((F.col("cell_l") <= F.col("right")) & (F.col("right") <= F.col("cell_r")))
+        | ((F.col("left") <= F.col("cell_l")) & (F.col("right") >= F.col("cell_r")))
+    )
+    ix = F.greatest(F.lit(0.0), F.least("right", "cell_r") - F.greatest("left", "cell_l"))
+    iy = F.greatest(F.lit(0.0), F.least("bottom", "cell_b") - F.greatest("top", "cell_t"))
+    box_area = (F.col("right") - F.col("left")) * (F.col("bottom") - F.col("top"))
+    cell_area = (F.col("cell_r") - F.col("cell_l")) * (F.col("cell_b") - F.col("cell_t"))
+    isect = F.least(ix * iy, F.least(box_area, cell_area)) / box_area
+    dist = F.sqrt(
+        F.pow((F.col("left") + F.col("right")) / 2 - (F.col("cell_l") + F.col("cell_r")) / 2, 2)
+        + F.pow((F.col("top") + F.col("bottom")) / 2 - (F.col("cell_t") + F.col("cell_b")) / 2, 2)
+    )
+    cand = (
+        j.where(row_ok & col_ok)
+        .withColumn("isect", isect).withColumn("dist", dist)
+        .where(F.col("isect") > 0)
+    )
+    w = W.partitionBy("doc_id", "page", "box_id").orderBy(
+        F.col("isect").desc(), F.col("dist").asc(), F.col("row_idx").asc(), F.col("col_idx").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "page", "box_id", "left", "value", "row_idx", "col_idx")
+    )
+
+
+def cells_from_positions(positions: DataFrame) -> DataFrame:
+    """positions arrays -> one row per grid cell with its rect
+    (JVM-side sequence+explode; parity: extract.py:18-43)."""
+    p = positions.select(
+        "doc_id", "page", "col_positions", "row_positions",
+        (F.size("row_positions") - 1).alias("n_rows"),
+        (F.size("col_positions") - 1).alias("n_cols"),
+    )
+    return (
+        p.select(
+            "doc_id", "page", "col_positions", "row_positions", "n_cols",
+            F.explode(F.sequence(F.lit(0), F.col("n_rows") - 1)).alias("row_idx"))
+        .select(
+            "doc_id", "page", "col_positions", "row_positions", "row_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_cols") - 1)).alias("col_idx"))
+        .select(
+            "doc_id", "page", "row_idx", "col_idx",
+            F.element_at("col_positions", F.col("col_idx") + 1).alias("cell_l"),
+            F.element_at("row_positions", F.col("row_idx") + 1).alias("cell_t"),
+            F.element_at("col_positions", F.col("col_idx") + 2).alias("cell_r"),
+            F.element_at("row_positions", F.col("row_idx") + 2).alias("cell_b"),
+        )
+    )
+
+
+def cell_texts(assigned: DataFrame, positions: DataFrame) -> DataFrame:
+    """Aggregate assigned boxes into cell text (join_texts semantics) and
+    left-join onto the FULL grid so empty cells materialize with ''.
+    Matched boxes only (row_idx >= 0)."""
+    texts = (
+        assigned.where(F.col("row_idx") >= 0)
+        .groupBy("doc_id", "page", "row_idx", "col_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("left", "box_id", "value"))).alias("_b"))
+        .select(
+            "doc_id", "page", "row_idx", "col_idx",
+            F.trim(F.array_join(F.transform("_b", lambda b: b["value"]), " ")).alias("cell_text"),
+        )
+    )
+    grid = cells_from_positions(positions).select("doc_id", "page", "row_idx", "col_idx")
+    return (
+        grid.join(texts, ["doc_id", "page", "row_idx", "col_idx"], "left")
+        .withColumn("cell_text", F.coalesce("cell_text", F.lit("")))
+    )

@@ -1,0 +1,155 @@
+"""The flagship table-extraction pipeline as one Spark DAG.
+
+Stages (SURVEY.md §3.4):
+  scan      span table -> textbox rows + page rows (JVM-side, sources/spans)
+  [image]   media_ref -> page-image bytes -> Hough lines -> rotation/skew
+            repair (operators/imgstage) — optional, catalogue_30s path
+  columns   per-page 1-D clustering of box lefts (window gaps-and-islands)
+            -> exact-median centers -> corpus column model fit + per-page
+            repair (operators/model) — the ONLY corpus-wide exchange
+  rows      per-page clustering of box tops -> row borders
+  grid      borders -> cells; cogrouped numpy assignment kernel
+  output    cell texts -> full grid -> ordered result spans
+
+Scale notes: every per-page stage partitions by (doc_id, page) — the unit
+of work is a page, never a whole document, which defuses pages-per-doc
+skew (north rule). The column-model fit reduces to O(distinct offsets)
+rows on the driver. All heavy expressions are JVM-side; Python runs only
+in the model-repair pandas UDF and the per-page assignment kernel.
+"""
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..operators.clustering import cluster_centers
+from ..operators.model import fit_and_repair
+from ..operators.grid import assign_cells_cogrouped, cell_texts
+
+
+@dataclass(frozen=True)
+class PipelineParams:
+    n_cols: int                      # expected column count (model size),
+                                     # like the reference's N_COL_BORDERS
+    min_col_width: float = 80.0      # -> column cluster break dist / 2
+    min_row_height: float = 30.0     # -> row cluster break dist / 2
+    pad_x: float = 10.0              # column border = center - pad_x
+    pad_y: float = 8.0               # row border = cluster min top - pad_y
+    model_dist_thresh: float = None  # pooled-center cluster break dist
+    same_size_use_model_arr_diff_thresh: float = None
+
+    @property
+    def col_break_dist(self):
+        return self.min_col_width / 2
+
+    @property
+    def row_break_dist(self):
+        return self.min_row_height / 2
+
+    @property
+    def model_break_dist(self):
+        return self.model_dist_thresh if self.model_dist_thresh is not None \
+            else self.min_col_width / 2
+
+
+def column_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
+    """Per-page column borders via text-left clustering + corpus model
+    repair (schoollist_2-style columns, §3.3, with the catalogue's
+    get_adjusted_cluster_centers model fit)."""
+    centers = cluster_centers(
+        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
+    repaired = fit_and_repair(
+        centers, params.n_cols, params.model_break_dist,
+        same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)
+
+    # borders: each repaired center - pad, then a right border safely past
+    # the last column (max box right + pad, but at least last center + 2*pad)
+    rights = boxes.groupBy("doc_id", "page").agg(
+        F.max(F.col("left") + F.col("width")).alias("max_right"))
+    pad = float(params.pad_x)
+    return (
+        repaired.join(rights, ["doc_id", "page"])
+        .select(
+            "doc_id", "page",
+            F.concat(
+                F.transform("centers_fixed", lambda c: c - F.lit(pad)),
+                F.array(F.greatest(
+                    F.col("max_right") + F.lit(pad),
+                    F.element_at("centers_fixed", -1) + F.lit(2 * pad),
+                )),
+            ).alias("col_positions"),
+        )
+    )
+
+
+def row_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
+    """Per-page row borders: cluster box tops, border = cluster min top -
+    pad_y, closing border = page max bottom + pad_y (schoollist-style rows
+    from text borders, §3.2 step 4)."""
+    row_mins = cluster_centers(
+        boxes, "top", params.row_break_dist, ("doc_id", "page"), center="min")
+    bottoms = boxes.groupBy("doc_id", "page").agg(
+        F.max(F.col("top") + F.col("height")).alias("max_bottom"))
+    pad = float(params.pad_y)
+    return (
+        row_mins.groupBy("doc_id", "page")
+        .agg(F.array_sort(F.collect_list(F.col("center") - F.lit(pad))).alias("_tops"))
+        .join(bottoms, ["doc_id", "page"])
+        .select(
+            "doc_id", "page",
+            F.concat("_tops", F.array(F.col("max_bottom") + F.lit(pad))).alias("row_positions"),
+        )
+    )
+
+
+def extract_cells(boxes: DataFrame, params: PipelineParams) -> DataFrame:
+    """boxes -> (doc_id, page, row_idx, col_idx, cell_text) full grid."""
+    cols = column_positions(boxes, params)
+    rows = row_positions(boxes, params)
+    positions = cols.join(rows, ["doc_id", "page"])
+    assigned = assign_cells_cogrouped(boxes, positions)
+    return cell_texts(assigned, positions)
+
+
+def result_spans(cells: DataFrame, pages: DataFrame = None) -> DataFrame:
+    """Cells -> ordered output spans per doc:
+    per page ascending, optional image span (from ``pages`` media_ref),
+    then text spans in row-major cell order; offset = dense sequence."""
+    text_spans = cells.select(
+        "doc_id", "page",
+        F.lit("text").alias("kind"),
+        F.col("cell_text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.col("row_idx"), F.col("col_idx"),
+        F.lit(1).alias("_k"),  # after the image span of the same page
+    )
+    if pages is not None:
+        image_spans = pages.select(
+            "doc_id", "page",
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("media_ref"),
+            F.lit(-1).alias("row_idx"), F.lit(-1).alias("col_idx"),
+            F.lit(0).alias("_k"),
+        ).where(F.col("media_ref").isNotNull())
+        all_spans = text_spans.unionByName(image_spans)
+    else:
+        all_spans = text_spans
+
+    w = W.partitionBy("doc_id").orderBy("page", "_k", "row_idx", "col_idx")
+    return (
+        all_spans
+        .withColumn("offset", F.row_number().over(w) - 1)
+        .select("doc_id", "kind", "text", "media_ref", "offset")
+    )
+
+
+def extract_from_span_table(span_docs: DataFrame, params: PipelineParams,
+                            with_images: bool = False) -> DataFrame:
+    """North-rule span table in -> result spans out (exploded form)."""
+    from ..sources.spans import textboxes_from_spans, pages_from_spans
+
+    boxes = textboxes_from_spans(span_docs)
+    cells = extract_cells(boxes, params)
+    pages = pages_from_spans(span_docs) if with_images else None
+    return result_spans(cells, pages)

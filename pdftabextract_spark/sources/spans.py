@@ -1,0 +1,78 @@
+"""Span-corpus scan: explode the north-rule interleaved span table into the
+engine's internal textbox/page rows — entirely with JVM-side expressions
+(explode + from_json + filters), so Catalyst prunes columns and pushes the
+kind/zero-area filters into the scan. No Python runs here.
+
+Parity notes: the zero-area drop replicates parse_pages' rect-validation
+skip (/root/reference/pdftabextract/common.py:138-141); page/image pairing
+replicates the page dict's image field (common.py:125-132).
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+# geometry payload carried in text spans during corpus prep (sources/synth.py)
+_BOX_JSON_SCHEMA = "struct<v string, l double, t double, w double, h double, p int>"
+
+
+def explode_spans(span_docs: DataFrame) -> DataFrame:
+    """One row per span with its array position preserved."""
+    return span_docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id", "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def textboxes_from_spans(span_docs: DataFrame) -> DataFrame:
+    """kind='text' spans -> textbox rows; drops zero-area boxes at scan
+    (width<=0 or height<=0) exactly like the reference parse."""
+    spans = explode_spans(span_docs).where(F.col("kind") == "text")
+    box = F.from_json("text", _BOX_JSON_SCHEMA).alias("box")
+    out = spans.select("doc_id", "offset", box).select(
+        "doc_id",
+        F.col("box.p").alias("page"),
+        F.col("offset").alias("box_id"),
+        F.col("box.l").alias("left"),
+        F.col("box.t").alias("top"),
+        F.col("box.w").alias("width"),
+        F.col("box.h").alias("height"),
+        F.col("box.v").alias("value"),
+    )
+    return out.where((F.col("width") > 0) & (F.col("height") > 0))
+
+
+def pages_from_spans(span_docs: DataFrame) -> DataFrame:
+    """kind='image' spans -> (doc_id, page, media_ref); page number is the
+    1-based rank of the image span within the doc."""
+    spans = explode_spans(span_docs).where(F.col("kind") == "image")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy("offset")
+    return spans.select(
+        "doc_id", "media_ref",
+        F.row_number().over(w).alias("page"),
+    )
+
+
+def assemble_span_table(result_spans: DataFrame) -> DataFrame:
+    """Exploded result spans (doc_id, kind, text, media_ref, offset) ->
+    north-rule span-doc table (collect_list ordered by offset)."""
+    return (
+        result_spans
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+        ))).alias("_s"))
+        .select(
+            "doc_id",
+            F.transform("_s", lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            )).alias("spans"),
+        )
+    )
