@@ -1,38 +1,698 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship table-extraction pipeline; ``queries`` /
+``oracle_sql`` expose every relational primitive from SURVEY.md §2 (window
+gaps-and-islands clustering, exact medians, band/interval joins, as-of
+nearest, top-k, anti-join, sessionization, ordered string-agg, mode,
+levenshtein) plus the large-scale training-data operators (exact dedup,
+minhash-LSH, simhash, n-gram jaccard, cosine top-k, hyperplane-LSH ANN,
+langid, quality scoring, token counting, fingerprinting) over the driver's
+parquet tables, each with a DuckDB-equivalent ANSI oracle. Pipeline-level
+span extraction is exposed as rows-only checks (no SQL-expressible oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+_T = ["region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic interleaved span corpus sized from the sf0.001
+    documents table -> full table-extraction pipeline -> result spans."""
+    from pdftabextract_spark.sources import synth
+    from pdftabextract_spark.plans.pipeline import (
+        PipelineParams, extract_from_span_table)
 
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = max(int(docs.count()), 8)
+    params = synth.CorpusParams(seed=42, n_docs=min(n_docs, 64), n_cols=5)
+    pipe = PipelineParams(n_cols=params.n_cols,
+                          min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    span_docs = synth.span_docs_df(spark, params)
+    return extract_from_span_table(span_docs, pipe)
+
+
+# ------------------------------------------------------------ query helpers
+
+_PORTABLE_HASH_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+_PORTABLE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+# minhash parameters (shared by Spark expr and oracle SQL)
+_MH_P = 2147483647
+_MH_AB = [(1299721, 104729), (15485863, 32452843), (49979687, 86028121),
+          (67867967, 122949823), (141650939, 15485867), (198491317, 5915587),
+          (217645199, 87178291), (236887691, 179424673)]
+
+# deterministic +/-1 hyperplanes for ANN LSH (seeded, inlined identically
+# into the Spark plan and the oracle SQL)
+_ANN_K = 8
+_ANN_DIM = 64
+_ANN_PLANES = (np.where(np.random.RandomState(123).rand(_ANN_K, _ANN_DIM) < 0.5,
+                        -1.0, 1.0)).tolist()
+
+
+def _q(fn):
+    fn._is_query = True
+    return fn
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q01_break_dist_clusters(spark, sf):
+        # window gaps-and-islands clustering (find_clusters_1d_break_dist,
+        # reference clustering.py:23-55) over order totalprice per customer
+        o = _load(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_totalprice")
+        gap = F.col("o_totalprice") - F.lag("o_totalprice").over(w)
+        brk = F.when(gap >= 10000.0, 1).otherwise(0)
+        cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        return (o.withColumn("cid", F.sum(brk).over(cum))
+                 .groupBy("o_custkey")
+                 .agg((F.max("cid") + 1).alias("n_clusters"),
+                      F.count("*").alias("n_orders"))
+                 .select("o_custkey", "n_clusters", "n_orders"))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q02_cluster_centers_median(spark, sf):
+        # exact median cluster centers (calc_cluster_centers_1d,
+        # clustering.py:388-394) — numpy-median parity incl. even-count mean
+        o = _load(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_totalprice")
+        gap = F.col("o_totalprice") - F.lag("o_totalprice").over(w)
+        brk = F.when(gap >= 10000.0, 1).otherwise(0)
+        cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        return (o.withColumn("cid", F.sum(brk).over(cum))
+                 .groupBy("o_custkey", "cid")
+                 .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("center"),
+                      F.count("*").alias("n"))
+                 .select("o_custkey", F.col("cid").cast("long").alias("cid"), "center", "n"))
 
+    def q03_band_join(spark, sf):
+        # split_texts_by_positions band semantics (lo, hi] (textboxes.py:81-92)
+        li = _load(spark, sf, "lineitem")
+        band = F.ceil(F.col("l_extendedprice") / F.lit(10000.0)).cast("long")
+        return (li.withColumn("band", band)
+                  .groupBy("band")
+                  .agg(F.count("*").alias("n"),
+                       F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+    def q04_asof_nearest(spark, sf):
+        # nearest-match as-of join (find_pages_separator_line argmin,
+        # imgproc.py:96-102): per customer the order closest to 150000
+        o = _load(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy(
+            F.abs(F.col("o_totalprice") - 150000.0).asc(), F.col("o_orderkey").asc())
+        return (o.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1)
+                 .select("o_custkey", "o_orderkey",
+                         F.round(F.abs(F.col("o_totalprice") - 150000.0), 4).alias("dist")))
+
+    def q05_topk_per_group(spark, sf):
+        # top-k by size (schoollist_2.py:245-250 largest-N selection)
+        o = _load(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (o.withColumn("rk", F.row_number().over(w))
+                 .where(F.col("rk") <= 3)
+                 .select("o_custkey", F.col("rk").cast("long").alias("rk"),
+                         "o_orderkey", "o_totalprice"))
+
+    def q06_anti_join(spark, sf):
+        # unmatched anti-join (fit_texts_into_grid return_unmatched_texts,
+        # extract.py:98-115)
+        c = _load(spark, sf, "customer")
+        o = _load(spark, sf, "orders")
+        return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                 .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+    def q07_sessionize(spark, sf):
+        # gaps-and-islands sessionization (merge_nearby_textboxes chains,
+        # clustering.py:168-241)
+        e = _load(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        brk = F.when(gap > 1800, 1).otherwise(0)
+        cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        s = e.withColumn("sid", F.sum(brk).over(cum))
+        return (s.groupBy("user_id")
+                 .agg((F.max("sid") + 1).cast("long").alias("n_sessions"),
+                      F.count("*").alias("n_events")))
+
+    def q08_session_concat(spark, sf):
+        # ordered string concatenation within chains (merge value joining,
+        # clustering.py:219-222 join_str semantics)
+        e = _load(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        brk = F.when(gap > 1800, 1).otherwise(0)
+        cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        s = e.withColumn("sid", F.sum(brk).over(cum))
+        return (s.groupBy("user_id", "sid")
+                 .agg(F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                             lambda x: x["event_type"]), " ").alias("chain"),
+                      F.count("*").alias("n"))
+                 .select("user_id", F.col("sid").cast("long").alias("sid"), "chain", "n"))
+
+    def q09_mode(spark, sf):
+        # mode with smallest-value tie-break (common.py:394-397)
+        o = _load(spark, sf, "orders")
+        counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+        w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority").asc())
+        return (counts.withColumn("rn", F.row_number().over(w))
+                      .where(F.col("rn") == 1)
+                      .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"))
+
+    def q10_median_stddev(spark, sf):
+        # exact percentile + population stddev (imgproc.py:233,328 parity)
+        li = _load(spark, sf, "lineitem")
+        return (li.groupBy("l_returnflag")
+                  .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+                       F.round(F.stddev_pop("l_quantity"), 6).alias("sd_qty"),
+                       F.count("*").alias("n")))
+
+    def q11_levenshtein(spark, sf):
+        # levenshtein + rel_levenshtein (common.py:255-303)
+        n = _load(spark, sf, "nation")
+        r = _load(spark, sf, "region")
+        j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        lev = F.levenshtein("n_name", "r_name")
+        rel = F.round(lev / F.greatest(F.length("n_name"), F.length("r_name")), 6)
+        return j.select("n_name", "r_name", lev.cast("long").alias("lev"),
+                        rel.alias("rel_lev")).orderBy("n_name")
+
+    def q12_tpch_q1(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                  .groupBy("l_returnflag", "l_linestatus")
+                  .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                       F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                       F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                       F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                       F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                       F.count("*").alias("count_order")))
+
+    def q13_subsequent_pairs(spark, sf):
+        # lag/lead adjacent pairs (subsequent_pairs, extract.py:155-161)
+        o = _load(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        gap = F.datediff(F.col("o_orderdate"),
+                         F.lag("o_orderdate").over(w)).cast("long")
+        return (o.withColumn("gap_days", gap)
+                 .where(F.col("gap_days").isNotNull())
+                 .groupBy("o_custkey")
+                 .agg(F.round(F.avg("gap_days"), 6).alias("avg_gap"),
+                      F.max("gap_days").alias("max_gap"),
+                      F.count("*").alias("n_gaps")))
+
+    def q14_dedup_exact(spark, sf):
+        # exact dedup by content hash: keep min doc_id per text
+        d = _load(spark, sf, "documents")
+        return (d.groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+                 .where(F.col("dups") >= 1)
+                 .groupBy("dups").agg(F.count("*").alias("n_groups"),
+                                      F.min("keep_id").alias("min_keep")))
+
+    def q15_minhash_signatures(spark, sf):
+        # MinHash over word sets with portable md5-derived hashing
+        d = _load(spark, sf, "documents")
+        words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")) \
+                 .where(F.col("w") != "").distinct()
+        x = F.expr(_PORTABLE_HASH_SPARK.format(x="w"))
+        hw = words.withColumn("x", x)
+        aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MH_P)).alias(f"s{i}")
+                for i, (a, b) in enumerate(_MH_AB)]
+        return hw.groupBy("doc_id").agg(*aggs)
+
+    def q16_minhash_lsh_buckets(spark, sf):
+        # LSH banding: 2 bands of 4 rows -> bucket sizes
+        sig = q15_minhash_signatures(spark, sf)
+        b1 = F.concat_ws(",", "s0", "s1", "s2", "s3")
+        b2 = F.concat_ws(",", "s4", "s5", "s6", "s7")
+        bands = sig.select("doc_id", b1.alias("bucket"), F.lit(0).alias("band")) \
+                   .unionByName(sig.select("doc_id", b2.alias("bucket"), F.lit(1).alias("band")))
+        return (bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+                     .groupBy("band", "n").agg(F.count("*").alias("n_buckets"))
+                     .select(F.col("band").cast("long").alias("band"), "n", "n_buckets"))
+
+    def q17_simhash(spark, sf):
+        # 16-bit SimHash over word multiset (md5-derived bits)
+        d = _load(spark, sf, "documents")
+        words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")) \
+                 .where(F.col("w") != "")
+        x = F.expr(_PORTABLE_HASH_SPARK.format(x="w"))
+        hw = words.withColumn("x", x)
+        bit_sums = [F.sum(F.when((F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1))) == 1, 1)
+                          .otherwise(-1)).alias(f"b{j}") for j in range(16)]
+        agg = hw.groupBy("doc_id").agg(*bit_sums)
+        sim = None
+        for j in range(16):
+            term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+    def q18_ngram_jaccard(spark, sf):
+        # word-3-gram Jaccard near-dup candidate pairs (shingle equi-join)
+        d = _load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+        d = d.where(F.size("ws") >= 3)
+        sh = d.select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 3)))).alias("s")
+        ).distinct()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+                  .agg(F.count("*").alias("common")))
+        sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+        sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+        jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+        return (pairs.join(sa, "d1").join(sb, "d2")
+                     .withColumn("jaccard", F.round(jac, 6))
+                     .where(F.col("jaccard") >= 0.2)
+                     .select("d1", "d2", "common", "jaccard"))
+
+    def q19_cosine_topk(spark, sf):
+        # brute-force cosine top-5 neighbors for query vectors (ANN baseline)
+        e = _load(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                           F.lit(0.0), lambda acc, x: acc + x))
+        j = q.crossJoin(e).where(F.col("q_id") != F.col("vec_id"))
+        cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+        scored = j.select("q_id", "vec_id", cos.alias("_cos"))
+        w = W.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+        return (scored.withColumn("rk", F.row_number().over(w))
+                      .where(F.col("rk") <= 5)
+                      .select("q_id", F.col("rk").cast("long").alias("rk"),
+                              "vec_id", F.round("_cos", 6).alias("cos")))
+
+    def q20_ann_lsh_buckets(spark, sf):
+        # hyperplane-LSH bucketing (the scale path for similarity search):
+        # sign bits of dot products with seeded +/-1 planes
+        e = _load(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
+        bucket = None
+        for k in range(_ANN_K):
+            plane = F.array(*[F.lit(c) for c in _ANN_PLANES[k]])
+            dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(dot > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        return (e.select("vec_id", bucket.cast("long").alias("bucket"))
+                 .groupBy("bucket").agg(F.count("*").alias("n")))
+
+    def q21_langid(spark, sf):
+        # n-gram/stopword language heuristic over documents
+        d = _load(spark, sf, "documents")
+        ws = F.split("text", " ")
+        def score(words_set):
+            arr = F.array(*[F.lit(w) for w in words_set])
+            return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+        s_en = score(["the", "a", "of", "and"])
+        s_sql = score(["table", "join", "query", "scan"])
+        s_spark = score(["spark", "batch", "stream", "shuffle"])
+        guess = (F.when((s_en >= s_sql) & (s_en >= s_spark) & (s_en > 0), "en")
+                  .when((s_sql >= s_spark) & (s_sql > 0), "sqlish")
+                  .when(s_spark > 0, "sparkish").otherwise("unknown"))
+        return (d.select("doc_id", guess.alias("lang_guess"))
+                 .groupBy("lang_guess").agg(F.count("*").alias("n")))
+
+    def q22_quality_score(spark, sf):
+        # quality scoring: length / mean word length / stopword ratio
+        d = _load(spark, sf, "documents")
+        ws = F.split("text", " ")
+        n_words = F.size(ws)
+        mean_len = F.length(F.regexp_replace("text", " ", "")) / n_words
+        stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"))
+        stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))) / n_words
+        raw = (F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+               + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * 0.3
+               + (1 - stop_ratio) * 0.2)
+        # floor(x*1e6+0.5)/1e6 instead of round(): identical double math on
+        # Spark and DuckDB (DuckDB's round() goes through decimal repr and
+        # can flip the last digit on .4999... doubles)
+        score = F.floor(raw * 1e6 + 0.5) / 1e6
+        return d.select("doc_id", n_words.cast("long").alias("n_words"),
+                        score.alias("quality"))
+
+    def q23_token_count(spark, sf):
+        # whitespace + regex token counting
+        d = _load(spark, sf, "documents")
+        ws_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        re_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        return (d.select("doc_id", ws_tokens.cast("long").alias("ws_tokens"),
+                         re_tokens.cast("long").alias("re_tokens")))
+
+    def q24_fingerprint(spark, sf):
+        # document fingerprint: md5 of normalized text
+        d = _load(spark, sf, "documents")
+        norm = F.lower(F.regexp_replace(F.trim("text"), " +", " "))
+        return (d.select("doc_id", F.md5(norm).alias("fp"))
+                 .groupBy("fp").agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+                 .groupBy("n").agg(F.count("*").alias("n_groups"), F.min("min_doc").alias("min_doc")))
+
+    def q25_overlap_interval_join(spark, sf):
+        # 1-D interval overlap theta-join (geom.overlap, geom.py:55-65):
+        # price deciles x order values, counting overlaps of ±2500 windows
+        o = _load(spark, sf, "orders")
+        bands = spark.range(0, 12).select(
+            (F.col("id") * 50000.0).alias("lo"),
+            (F.col("id") * 50000.0 + 60000.0).alias("hi"),
+            F.col("id").alias("band_id"))
+        j = o.join(F.broadcast(bands),
+                   (F.col("o_totalprice") - 2500.0 <= F.col("hi"))
+                   & (F.col("lo") <= F.col("o_totalprice") + 2500.0))
+        return (j.groupBy("band_id").agg(F.count("*").alias("n"))
+                 .select(F.col("band_id").cast("long").alias("band_id"), "n"))
+
+    # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
+
+    def q40_extract_cells_synth(spark, sf):
+        from pdftabextract_spark.sources import synth
+        from pdftabextract_spark.sources.spans import textboxes_from_spans
+        from pdftabextract_spark.plans.pipeline import PipelineParams, extract_cells
+        params = synth.CorpusParams(seed=42, n_docs=32, n_cols=5)
+        pipe = PipelineParams(n_cols=5, min_col_width=params.min_col_width,
+                              min_row_height=params.min_row_height)
+        boxes = textboxes_from_spans(synth.span_docs_df(spark, params))
+        return extract_cells(boxes, pipe)
+
+    def q41_result_spans_synth(spark, sf):
+        from pdftabextract_spark.sources import synth
+        from pdftabextract_spark.plans.pipeline import (
+            PipelineParams, extract_from_span_table)
+        params = synth.CorpusParams(seed=42, n_docs=32, n_cols=5, with_images=True)
+        pipe = PipelineParams(n_cols=5, min_col_width=params.min_col_width,
+                              min_row_height=params.min_row_height)
+        return extract_from_span_table(synth.span_docs_df(spark, params), pipe,
+                                       with_images=True)
+
+    return {k: v for k, v in locals().items() if k.startswith("q")}
+
+
+# ------------------------------------------------------------------ oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_terms = ",\n           ".join(
+        f"min(({a} * x + {b}) % {_MH_P}) AS s{i}" for i, (a, b) in enumerate(_MH_AB))
+    sim_bits = ",\n           ".join(
+        f"sum(CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16))
+    sim_val = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    ann_dots = []
+    for k in range(_ANN_K):
+        coeffs = " + ".join(
+            f"({c})*CAST(embedding[{i+1}] AS DOUBLE)" for i, c in enumerate(_ANN_PLANES[k]))
+        ann_dots.append(f"(CASE WHEN ({coeffs}) > 0 THEN {1 << k} ELSE 0 END)")
+    ann_bucket = " + ".join(ann_dots)
+
+    return {
+        "q01_break_dist_clusters": """
+            SELECT o_custkey, CAST(max(cid) + 1 AS BIGINT) AS n_clusters,
+                   count(*) AS n_orders
+            FROM (SELECT o_custkey,
+                         sum(brk) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                        ROWS UNBOUNDED PRECEDING) AS cid
+                  FROM (SELECT o_custkey, o_totalprice,
+                               CASE WHEN o_totalprice - lag(o_totalprice) OVER
+                                    (PARTITION BY o_custkey ORDER BY o_totalprice) >= 10000.0
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM orders) t) s
+            GROUP BY o_custkey
+        """,
+        "q02_cluster_centers_median": f"""
+            SELECT o_custkey, CAST(cid AS BIGINT) AS cid,
+                   round(median(o_totalprice), 4) AS center, count(*) AS n
+            FROM (SELECT o_custkey, o_totalprice,
+                         sum(brk) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                        ROWS UNBOUNDED PRECEDING) AS cid
+                  FROM (SELECT o_custkey, o_totalprice,
+                               CASE WHEN o_totalprice - lag(o_totalprice) OVER
+                                    (PARTITION BY o_custkey ORDER BY o_totalprice) >= 10000.0
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM orders) t) s
+            GROUP BY o_custkey, cid
+        """,
+        "q03_band_join": """
+            SELECT CAST(ceil(l_extendedprice / 10000.0) AS BIGINT) AS band,
+                   count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY 1
+        """,
+        "q04_asof_nearest": """
+            SELECT o_custkey, o_orderkey,
+                   round(abs(o_totalprice - 150000.0), 4) AS dist
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY abs(o_totalprice - 150000.0) ASC, o_orderkey ASC) AS rn
+                  FROM orders) t
+            WHERE rn = 1
+        """,
+        "q05_topk_per_group": """
+            SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                  FROM orders) t
+            WHERE rk <= 3
+        """,
+        "q06_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "q07_sessionize": """
+            SELECT user_id, CAST(max(sid) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (SELECT user_id,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM (SELECT user_id, ts, event_id,
+                               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM events) t) s
+            GROUP BY user_id
+        """,
+        "q08_session_concat": """
+            SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS chain,
+                   count(*) AS n
+            FROM (SELECT user_id, ts, event_id, event_type,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM (SELECT user_id, ts, event_id, event_type,
+                               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM events) t) s
+            GROUP BY user_id, sid
+        """,
+        "q09_mode": """
+            SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+            FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                         row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+                  FROM orders GROUP BY 1, 2) t
+            WHERE rn = 1
+        """,
+        "q10_median_stddev": """
+            SELECT l_returnflag,
+                   round(median(l_extendedprice), 4) AS median_price,
+                   round(stddev_pop(l_quantity), 6) AS sd_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "q11_levenshtein": """
+            SELECT n_name, r_name,
+                   CAST(levenshtein(n_name, r_name) AS BIGINT) AS lev,
+                   round(levenshtein(n_name, r_name)
+                         / greatest(length(n_name), length(r_name)), 6) AS rel_lev
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_name
+        """,
+        "q12_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "q13_subsequent_pairs": """
+            SELECT o_custkey, round(avg(gap_days), 6) AS avg_gap,
+                   max(gap_days) AS max_gap, count(*) AS n_gaps
+            FROM (SELECT o_custkey,
+                         date_diff('day', lag(o_orderdate) OVER
+                             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap_days
+                  FROM orders) t
+            WHERE gap_days IS NOT NULL
+            GROUP BY o_custkey
+        """,
+        "q14_dedup_exact": """
+            SELECT dups, count(*) AS n_groups, min(keep_id) AS min_keep
+            FROM (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
+                  FROM documents GROUP BY 1) t
+            GROUP BY dups
+        """,
+        "q15_minhash_signatures": f"""
+            SELECT doc_id, {mh_terms}
+            FROM (SELECT DISTINCT doc_id, w,
+                         {_PORTABLE_HASH_DUCK.format(x='w')} AS x
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents) t
+                  WHERE w <> '') s
+            GROUP BY doc_id
+        """,
+        "q16_minhash_lsh_buckets": f"""
+            WITH sig AS (
+              SELECT doc_id, {mh_terms}
+              FROM (SELECT DISTINCT doc_id, w,
+                           {_PORTABLE_HASH_DUCK.format(x='w')} AS x
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents) t
+                    WHERE w <> '') s
+              GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band,
+                     concat_ws(',', s0, s1, s2, s3) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     concat_ws(',', s4, s5, s6, s7) AS bucket FROM sig)
+            SELECT CAST(band AS BIGINT) AS band, n, count(*) AS n_buckets
+            FROM (SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2) t
+            GROUP BY band, n
+        """,
+        "q17_simhash": f"""
+            SELECT doc_id, CAST({sim_val} AS BIGINT) AS simhash
+            FROM (SELECT doc_id, {sim_bits}
+                  FROM (SELECT doc_id, w,
+                               {_PORTABLE_HASH_DUCK.format(x='w')} AS x
+                        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                              FROM documents) t
+                        WHERE w <> '') s
+                  GROUP BY doc_id) agg
+        """,
+        "q18_ngram_jaccard": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT d1, d2, common,
+                   round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = d1
+                       JOIN sizes sb ON sb.doc_id = d2
+            WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+        """,
+        "q19_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS c
+              FROM q CROSS JOIN e WHERE q.q_id <> e.vec_id)
+            SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(c, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY c DESC, vec_id ASC) AS rk FROM scored) t
+            WHERE rk <= 5
+        """,
+        "q20_ann_lsh_buckets": f"""
+            SELECT CAST({ann_bucket} AS BIGINT) AS bucket, count(*) AS n
+            FROM embeddings
+            GROUP BY 1
+        """,
+        "q21_langid": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'a', 'of', 'and'))) AS s_en,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ('table', 'join', 'query', 'scan'))) AS s_sql,
+                     len(list_filter(string_split(text, ' '),
+                         w -> w IN ('spark', 'batch', 'stream', 'shuffle'))) AS s_spark
+              FROM documents)
+            SELECT CASE WHEN s_en >= s_sql AND s_en >= s_spark AND s_en > 0 THEN 'en'
+                        WHEN s_sql >= s_spark AND s_sql > 0 THEN 'sqlish'
+                        WHEN s_spark > 0 THEN 'sparkish'
+                        ELSE 'unknown' END AS lang_guess,
+                   count(*) AS n
+            FROM s GROUP BY 1
+        """,
+        "q22_quality_score": """
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   floor((least(1.0, n_words / 100.0) * 0.5
+                          + least(1.0, mean_len / 8.0) * 0.3
+                          + (1 - stop_ratio) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+            FROM (SELECT doc_id,
+                         len(string_split(text, ' ')) AS n_words,
+                         length(replace(text, ' ', ''))
+                             / len(string_split(text, ' ')) AS mean_len,
+                         len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of')))
+                             / len(string_split(text, ' ')) AS stop_ratio
+                  FROM documents) t
+        """,
+        "q23_token_count": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+                       AS re_tokens
+            FROM documents
+        """,
+        "q24_fingerprint": """
+            SELECT n, count(*) AS n_groups, min(min_doc) AS min_doc
+            FROM (SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+                         count(*) AS n, min(doc_id) AS min_doc
+                  FROM documents GROUP BY 1) t
+            GROUP BY n
+        """,
+        "q25_overlap_interval_join": """
+            WITH bands AS (
+              SELECT i * 50000.0 AS lo, i * 50000.0 + 60000.0 AS hi,
+                     i AS band_id
+              FROM UNNEST(range(0, 12)) AS t(i))
+            SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n
+            FROM orders JOIN bands
+              ON o_totalprice - 2500.0 <= hi AND lo <= o_totalprice + 2500.0
+            GROUP BY band_id
+        """,
+        # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
+        # (multi-stage model fit + kernel assignment); driver rows-only check.
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Times the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+* flagship: end-to-end span-table extraction over a deterministic synthetic
+  interleaved corpus (materialized to parquet once, untimed — the timed job
+  reads parquet exactly like production reads Iceberg);
+* a representative slice of the SQL operator suite (window clustering,
+  TPC-H Q1, minhash, simhash, n-gram jaccard, cosine top-k, ANN buckets).
+
+Usage:
+  python bench.py                 # full bench, one JSON line to stdout
+  python bench.py --extract-only  # flagship only (used by scale_bench)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# corpus sizing per sf tier (docs; pages ~= 2.2x docs, boxes ~= 40x pages)
+_DOCS_BY_SF = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 6000}
+
+
+def _sf_tag(path):
+    base = os.path.basename(os.path.normpath(path))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def corpus_path(n_docs):
+    return f"/tmp/ptx_bench_corpus_{n_docs}"
+
+
+def materialize_corpus(spark, n_docs):
+    """Write the synthetic span corpus to parquet once (untimed)."""
+    from pdftabextract_spark.sources import synth
+    path = corpus_path(n_docs)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        params = synth.CorpusParams(seed=42, n_docs=n_docs, n_cols=6)
+        synth.span_docs_df(spark, params).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_extract(spark, n_docs):
+    from pdftabextract_spark.plans.pipeline import (
+        PipelineParams, extract_from_span_table)
+    from pdftabextract_spark.sources import synth
+
+    path = materialize_corpus(spark, n_docs)
+    params = synth.CorpusParams(seed=42, n_docs=n_docs, n_cols=6)
+    pipe = PipelineParams(n_cols=params.n_cols,
+                          min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    span_docs = spark.read.parquet(path)
+    t0 = time.time()
+    out = extract_from_span_table(span_docs, pipe)
+    n_spans = out.count()
+    dt = time.time() - t0
+    return dt, n_spans
+
+
+def main():
+    extract_only = "--extract-only" in sys.argv
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
+                                _DOCS_BY_SF.get(_sf_tag(SF_DIR), 6000)))
+
+    from pdftabextract_spark.session import get_spark
+    spark = get_spark(app_name="ptx-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+
+    queries = {}
+    dt, n_spans = bench_extract(spark, n_docs)
+    queries["extract_e2e"] = round(dt, 3)
+    docs_per_sec = round(n_docs / dt, 2)
+
+    if not extract_only:
+        import __spark_entry__ as entrymod
+        qs = entrymod.queries()
+        for name in ["q01_break_dist_clusters", "q12_tpch_q1",
+                     "q15_minhash_signatures", "q17_simhash",
+                     "q18_ngram_jaccard", "q19_cosine_topk",
+                     "q20_ann_lsh_buckets", "q07_sessionize"]:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "e2e_extraction_and_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(SF_DIR),
+        "extract_docs": n_docs,
+        "extract_spans": n_spans,
+        "extract_docs_per_sec": docs_per_sec,
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
