@@ -52,6 +52,37 @@ def assign_cells_cogrouped(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     )
 
 
+def assign_cells_joined(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+    """Default assignment path: equi-join boxes with their page's border
+    arrays (AQE picks broadcast when positions is small — one row per
+    page), then ONE Arrow-batched mapInPandas kernel. Assignment is
+    per-box independent given the page grid, so no grouping shuffle is
+    needed at all; the kernel just sub-groups each Arrow batch by page to
+    vectorize boxes x cells scoring. ~50x fewer Python crossings than a
+    per-page applyInPandas."""
+    import pandas as pd
+    from ..kernels.gridfit import fit_page_boxes
+
+    joined = boxes.join(
+        positions.select("doc_id", "page", "col_positions", "row_positions"),
+        ["doc_id", "page"])
+
+    out_cols = ["doc_id", "page", "box_id", "left", "value", "row_idx", "col_idx"]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for _, grp in pdf.groupby(["doc_id", "page"], sort=False):
+                fitted = fit_page_boxes(
+                    grp, grp.iloc[0]["col_positions"], grp.iloc[0]["row_positions"])
+                parts.append(fitted[out_cols])
+            yield pd.concat(parts, ignore_index=True)
+
+    return joined.mapInPandas(kernel, schema=_ASSIGN_SCHEMA)
+
+
 def assign_cells_sql(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     """Relational formulation: explode the grid, join on the candidate
     range predicates, window-argmax per box. Exact same candidate and

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from ..operators.clustering import cluster_centers
 from ..operators.model import fit_and_repair
-from ..operators.grid import assign_cells_cogrouped, cell_texts
+from ..operators.grid import assign_cells_joined, cell_texts
 
 
 @dataclass(frozen=True)
@@ -52,7 +52,16 @@ class PipelineParams:
             else self.min_col_width / 2
 
 
-def column_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
+def page_extents(boxes: DataFrame) -> DataFrame:
+    """One pass over boxes: per-page max right / max bottom (used for the
+    closing column and row borders)."""
+    return boxes.groupBy("doc_id", "page").agg(
+        F.max(F.col("left") + F.col("width")).alias("max_right"),
+        F.max(F.col("top") + F.col("height")).alias("max_bottom"))
+
+
+def column_positions(boxes: DataFrame, params: PipelineParams,
+                     extents: DataFrame = None) -> DataFrame:
     """Per-page column borders via text-left clustering + corpus model
     repair (schoollist_2-style columns, §3.3, with the catalogue's
     get_adjusted_cluster_centers model fit)."""
@@ -64,11 +73,11 @@ def column_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
 
     # borders: each repaired center - pad, then a right border safely past
     # the last column (max box right + pad, but at least last center + 2*pad)
-    rights = boxes.groupBy("doc_id", "page").agg(
-        F.max(F.col("left") + F.col("width")).alias("max_right"))
+    if extents is None:
+        extents = page_extents(boxes)
     pad = float(params.pad_x)
     return (
-        repaired.join(rights, ["doc_id", "page"])
+        repaired.join(extents.select("doc_id", "page", "max_right"), ["doc_id", "page"])
         .select(
             "doc_id", "page",
             F.concat(
@@ -82,19 +91,20 @@ def column_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
     )
 
 
-def row_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
+def row_positions(boxes: DataFrame, params: PipelineParams,
+                  extents: DataFrame = None) -> DataFrame:
     """Per-page row borders: cluster box tops, border = cluster min top -
     pad_y, closing border = page max bottom + pad_y (schoollist-style rows
     from text borders, §3.2 step 4)."""
     row_mins = cluster_centers(
         boxes, "top", params.row_break_dist, ("doc_id", "page"), center="min")
-    bottoms = boxes.groupBy("doc_id", "page").agg(
-        F.max(F.col("top") + F.col("height")).alias("max_bottom"))
+    if extents is None:
+        extents = page_extents(boxes)
     pad = float(params.pad_y)
     return (
         row_mins.groupBy("doc_id", "page")
         .agg(F.array_sort(F.collect_list(F.col("center") - F.lit(pad))).alias("_tops"))
-        .join(bottoms, ["doc_id", "page"])
+        .join(extents.select("doc_id", "page", "max_bottom"), ["doc_id", "page"])
         .select(
             "doc_id", "page",
             F.concat("_tops", F.array(F.col("max_bottom") + F.lit(pad))).alias("row_positions"),
@@ -102,12 +112,33 @@ def row_positions(boxes: DataFrame, params: PipelineParams) -> DataFrame:
     )
 
 
-def extract_cells(boxes: DataFrame, params: PipelineParams) -> DataFrame:
-    """boxes -> (doc_id, page, row_idx, col_idx, cell_text) full grid."""
-    cols = column_positions(boxes, params)
-    rows = row_positions(boxes, params)
+def extract_cells(boxes: DataFrame, params: PipelineParams,
+                  persist: bool = True) -> DataFrame:
+    """boxes -> (doc_id, page, row_idx, col_idx, cell_text) full grid.
+
+    ``persist``: the exploded textbox table feeds five downstream branches
+    (column clustering, row clustering, page extents x2, assignment); at
+    any scale, one materialization beats five re-scans of the span table
+    (scan + explode + JSON parse). Per-page positions likewise feed both
+    the assignment cogroup and the full-grid generator. On a cluster this
+    is MEMORY_AND_DISK; the same call works local.
+    """
+    if persist:
+        from pyspark import StorageLevel
+        # NOTE: measured local[8]@sf0.01 — an explicit
+        # repartition("doc_id","page") before persist costs more (extra
+        # eager exchange + broken AQE broadcast choices downstream) than
+        # the window exchanges it saves; persist unpartitioned and let AQE
+        # plan each branch
+        boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
+    extents = page_extents(boxes)
+    cols = column_positions(boxes, params, extents)
+    rows = row_positions(boxes, params, extents)
     positions = cols.join(rows, ["doc_id", "page"])
-    assigned = assign_cells_cogrouped(boxes, positions)
+    if persist:
+        from pyspark import StorageLevel
+        positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = assign_cells_joined(boxes, positions)
     return cell_texts(assigned, positions)
 
 
