@@ -1,0 +1,181 @@
+"""Image stage: media_ref -> page-image bytes -> Hough lines -> page
+rotation/skew estimate -> repaired textboxes and line-derived grid borders.
+
+This is the catalogue_30s path (/root/reference/examples/catalogue_30s/
+catalog_30s.py:72-166): per page, detect lines (Canny+Hough), classify
+h/v, estimate rotation/skew from angle-deviation medians, repair textbox
+coordinates by rotating them back, and take COLUMN borders from the
+vertical line clusters (corpus model fit applied downstream).
+
+All pixel work happens in one Arrow-batched mapInPandas kernel over
+(media_ref, bytes) rows joined to pages — one decoded image at a time,
+bounded memory; group key is the page, so pages-per-doc skew cannot
+concentrate work (north rule). Line analytics beyond the kernel are
+DataFrame ops.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels import imgproc as K
+from ..kernels.png import decode_png
+
+_LINES_SCHEMA = ("doc_id string, page int, rho double, theta double, "
+                 "theta_norm double, direction string")
+
+_ROT_SCHEMA = ("doc_id string, page int, rot_type string, rot_radians double")
+
+
+def detect_lines(pages: DataFrame, media: DataFrame,
+                 canny_low=50, canny_high=150,
+                 hough_rho_res=1.0, hough_theta_res=math.pi / 500,
+                 hough_votes_rel=0.2) -> DataFrame:
+    """pages(doc_id,page,media_ref) x media(media_ref,bytes) -> classified
+    Hough lines per page. votes threshold = hough_votes_rel * image width
+    (catalog_30s.py:89-92)."""
+    joined = pages.select("doc_id", "page", "media_ref").join(media, "media_ref")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_png(bytes(r.bytes))
+                gray = K.grayscale(img)
+                edges = K.edges_simple(gray, canny_low, canny_high)
+                votes = int(round(hough_votes_rel * img.shape[1]))
+                lines = K.hough_lines(edges, hough_rho_res, hough_theta_res,
+                                      max(votes, 2))
+                for rho, theta, theta_norm, direction in K.classify_hough_lines(lines):
+                    rows.append((r.doc_id, r.page, rho, theta, theta_norm, direction))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "page", "rho", "theta", "theta_norm", "direction"])
+
+    return joined.mapInPandas(kernel, schema=_LINES_SCHEMA)
+
+
+def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
+                           omit_on_rot_thresh=None, only_direction=None):
+    """Per-page rotation/skew decision + stray-line filter.
+
+    Returns (rotations DF, filtered lines DF). The decision logic is the
+    reference's sequential conditional chain (imgproc.py:189-275) — medians
+    per direction feed threshold logic — run in one applyInPandas over the
+    page's lines (tens of rows per page)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf.iloc[0]["doc_id"]
+        page = int(pdf.iloc[0]["page"])
+        lh = list(zip(pdf["rho"], pdf["theta"], pdf["theta_norm"], pdf["direction"]))
+        (rs_type, rs_rad), filtered = K.find_rotation_or_skew(
+            lh, rot_thresh, rot_same_dir_thresh,
+            omit_on_rot_thresh=omit_on_rot_thresh, only_direction=only_direction)
+        out = pd.DataFrame(filtered, columns=["rho", "theta", "theta_norm", "direction"])
+        out.insert(0, "doc_id", doc_id)
+        out.insert(1, "page", page)
+        out["rot_type"] = rs_type
+        out["rot_radians"] = np.nan if rs_rad is None else float(rs_rad)
+        return out
+
+    schema = (_LINES_SCHEMA + ", rot_type string, rot_radians double")
+    enriched = lines.groupBy("doc_id", "page").applyInPandas(kernel, schema=schema)
+    rotations = (enriched.groupBy("doc_id", "page")
+                 .agg(F.first("rot_type").alias("rot_type"),
+                      F.first("rot_radians").alias("rot_radians")))
+    filtered_lines = enriched.select(
+        "doc_id", "page", "rho", "theta", "theta_norm", "direction")
+    return rotations, filtered_lines
+
+
+def apply_rotation_to_lines(lines_with_rot: DataFrame, sign: float = -1.0) -> DataFrame:
+    """apply_found_rotation_or_skew (imgproc.py:153-176) as a projection:
+    theta += sign*radians for affected-direction lines, theta_norm
+    renormalized. Expects rho/theta/theta_norm/direction/rot_type/
+    rot_radians columns.
+
+    ``sign``: with the y-down raster convention of the synthetic renderer,
+    straightening requires SUBTRACTING the found angle (verified
+    empirically: theta=alpha lines + found=alpha need theta-alpha≈0);
+    sign=+1.0 reproduces the reference's literal += semantics."""
+    affected = (
+        F.col("rot_type").isNotNull() & ~F.isnan(F.col("rot_radians")) & (
+            (F.col("rot_type") == "r")
+            | ((F.col("rot_type") == "sy") & (F.col("direction") == "h"))
+            | ((F.col("rot_type") == "sx") & (F.col("direction") == "v"))
+        )
+    )
+    new_theta = F.when(affected,
+                       F.col("theta") + F.lit(float(sign)) * F.col("rot_radians")
+                       ).otherwise(F.col("theta"))
+    # normalize_angle parity for the practical range (-2pi, 4pi): note the
+    # reference REFLECTS negative angles (abs(theta)), it does not wrap —
+    # geom.py:232-236
+    twopi = 2 * math.pi
+    norm = (F.when(new_theta >= twopi, new_theta - twopi)
+             .when(new_theta < 0, F.abs(new_theta))
+             .otherwise(new_theta))
+    return (lines_with_rot
+            .withColumn("theta", new_theta)
+            .withColumn("theta_norm",
+                        F.when(affected, norm).otherwise(F.col("theta_norm"))))
+
+
+def rotate_boxes_back(boxes: DataFrame, rotations: DataFrame) -> DataFrame:
+    """rotate_textboxes / deskew_textboxes repair (catalog_30s.py:110-115:
+    rotate by the NEGATED found angle about (0,0)) as pure projections —
+    no Python, exact trig expressions."""
+    b = boxes.join(rotations, ["doc_id", "page"], "left")
+    has = F.col("rot_type").isNotNull() & ~F.isnan(F.col("rot_radians"))
+    ang = -F.col("rot_radians")
+    cos_t, sin_t = F.cos(ang), F.sin(ang)
+
+    rot_left = cos_t * F.col("left") - sin_t * F.col("top")
+    rot_top = sin_t * F.col("left") + cos_t * F.col("top")
+
+    # skew repair (textboxes.py:191-219): sx shifts left by
+    # -sin(a)*(center_y), sy shifts top by sin(a)*(center_x), about (0,0)
+    sk = F.sin(ang)
+    sx_left = F.col("left") - sk * (F.col("top") + F.col("height") / 2)
+    sy_top = F.col("top") + sk * (F.col("left") + F.col("width") / 2)
+
+    new_left = (F.when(has & (F.col("rot_type") == "r"), rot_left)
+                 .when(has & (F.col("rot_type") == "sx"), sx_left)
+                 .otherwise(F.col("left")))
+    new_top = (F.when(has & (F.col("rot_type") == "r"), rot_top)
+                .when(has & (F.col("rot_type") == "sy"), sy_top)
+                .otherwise(F.col("top")))
+    return (b.withColumn("left", new_left)
+             .withColumn("top", new_top)
+             .drop("rot_type", "rot_radians"))
+
+
+def line_border_centers(lines: DataFrame, pages: DataFrame,
+                        direction: str, dist_thresh: float) -> DataFrame:
+    """Vertical (or horizontal) line positions per page -> 1-D cluster
+    centers (the catalogue's column borders before model repair).
+
+    Line position = midpoint of the canvas-projected segment
+    (imgproc.py:311-314), computed in a vectorized kernel, then clustered
+    with the standard window op and reduced to exact medians."""
+    from ..operators.clustering import cluster_centers
+
+    sel = lines.where(F.col("direction") == direction).join(
+        pages.select("doc_id", "page", "img_w", "img_h"), ["doc_id", "page"])
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for (doc_id, page, img_w, img_h), grp in pdf.groupby(
+                    ["doc_id", "page", "img_w", "img_h"], sort=False):
+                coord_idx = 0 if direction == "v" else 1
+                pos = K.hough_line_midpoints(
+                    grp["rho"].to_numpy(), grp["theta"].to_numpy(),
+                    float(img_w), float(img_h), coord_idx)
+                rows.extend((doc_id, int(page), float(p)) for p in pos)
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "pos"])
+
+    positions = sel.mapInPandas(kernel, schema="doc_id string, page int, pos double")
+    return cluster_centers(positions, "pos", dist_thresh, ("doc_id", "page"),
+                           center="median")

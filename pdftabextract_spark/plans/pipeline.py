@@ -123,6 +123,9 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
     the assignment cogroup and the full-grid generator. On a cluster this
     is MEMORY_AND_DISK; the same call works local.
     """
+    # scan-time zero-area drop (parse_pages rect validation,
+    # common.py:138-141) — Catalyst pushes this into the source scan
+    boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
     if persist:
         from pyspark import StorageLevel
         # NOTE: measured local[8]@sf0.01 — an explicit
@@ -139,6 +142,56 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
         from pyspark import StorageLevel
         positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
     assigned = assign_cells_joined(boxes, positions)
+    return cell_texts(assigned, positions)
+
+
+def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
+                             media: DataFrame, params: PipelineParams,
+                             rot_thresh_deg=0.5, rot_same_dir_thresh_deg=1.0,
+                             omit_on_rot_thresh_deg=0.5,
+                             persist: bool = True) -> DataFrame:
+    """The catalogue_30s path (§3.1): columns from Hough-line clusters on
+    the page images, rotation estimated from the lines and repaired on
+    both lines and textboxes, rows from repaired text tops.
+    ``pages`` needs (doc_id, page, media_ref, img_w, img_h)."""
+    import math
+    from ..operators.imgstage import (
+        detect_lines, find_rotation_per_page, apply_rotation_to_lines,
+        rotate_boxes_back, line_border_centers)
+    from ..operators.model import fit_and_repair
+
+    boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
+    lines = detect_lines(pages, media)
+    rotations, filtered = find_rotation_per_page(
+        lines, math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
+        omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg))
+    if persist:
+        from pyspark import StorageLevel
+        rotations = rotations.persist(StorageLevel.MEMORY_AND_DISK)
+        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+
+    boxes_fixed = rotate_boxes_back(boxes, rotations)
+    if persist:
+        from pyspark import StorageLevel
+        boxes_fixed = boxes_fixed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    lines_fixed = apply_rotation_to_lines(
+        filtered.join(rotations, ["doc_id", "page"], "left"))
+
+    # column borders straight from vertical line clusters (model-repaired);
+    # the model size is n_cols + 1 borders (N_COL_BORDERS semantics,
+    # catalog_30s.py:46,161-166)
+    centers = line_border_centers(lines_fixed, pages, "v", params.col_break_dist)
+    repaired = fit_and_repair(
+        centers, params.n_cols + 1, params.model_break_dist,
+        same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)
+    cols = repaired.select("doc_id", "page",
+                           F.col("centers_fixed").alias("col_positions"))
+
+    rows = row_positions(boxes_fixed, params)
+    positions = cols.join(rows, ["doc_id", "page"])
+    from ..operators.grid import assign_cells_joined
+    assigned = assign_cells_joined(boxes_fixed, positions)
     return cell_texts(assigned, positions)
 
 

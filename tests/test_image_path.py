@@ -1,0 +1,84 @@
+"""Image-stage e2e: rotated page images + rotated textboxes -> Hough line
+detection -> rotation estimate -> repair -> line-derived columns -> cells
+matching the unrotated ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdftabextract_spark.sources import synth
+from pdftabextract_spark.plans.pipeline import PipelineParams, extract_cells_image_path
+from pdftabextract_spark.kernels import imgproc as K
+from pdftabextract_spark.kernels.png import encode_png, decode_png
+
+
+def test_png_roundtrip():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (40, 60), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    rgb = rng.randint(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def test_hough_recovers_known_lines():
+    img = np.full((300, 400), 255, dtype=np.uint8)
+    for x in (50, 180, 320):
+        img[:, x:x + 2] = 0
+    for y in (40, 150, 260):
+        img[y:y + 2, :] = 0
+    edges = K.edges_simple(K.grayscale(img))
+    lines = K.hough_lines(edges, 1.0, np.pi / 500, 80)
+    cl = K.classify_hough_lines(lines)
+    # positions via canvas projection (rho alone is ambiguous: vertical
+    # lines also vote near theta=pi with negative rho — same physical line;
+    # the reference clusters projected positions for this reason,
+    # imgproc.py:311-314)
+    h, w = img.shape
+    v_pos, _ = K.line_positions_in_direction(cl, "v", w, h)
+    h_pos, _ = K.line_positions_in_direction(cl, "h", w, h)
+    assert len(v_pos) and len(h_pos)
+    # individual positions smear (off-axis theta bins above threshold);
+    # the engine clusters positions and takes exact medians — assert that
+    from pdftabextract_spark.kernels.clustering import (
+        find_clusters_1d_break_dist, zip_clusters_and_values, calc_cluster_centers_1d)
+    for pos, truth in ((v_pos, (50, 180, 320)), (h_pos, (40, 150, 260))):
+        cw = zip_clusters_and_values(find_clusters_1d_break_dist(pos, 30), pos)
+        centers = sorted(calc_cluster_centers_1d(cw))
+        assert len(centers) == len(truth)
+        for c, t in zip(centers, truth):
+            assert abs(c - t) <= 4, (centers, truth)
+
+
+def test_rotation_estimation_kernel():
+    params = synth.CorpusParams(seed=5, n_docs=1, n_cols=4, with_images=True,
+                                rotation_deg=1.0, page_dist=((1, 1.0),))
+    colpos = synth.family_layout(params)
+    _, pages = synth.gen_doc(0, params, colpos)
+    img = synth.render_page_image(pages[0], colpos)
+    edges = K.edges_simple(K.grayscale(img))
+    lines = K.hough_lines(edges, 1.0, np.pi / 500, int(0.2 * img.shape[1]))
+    cl = K.classify_hough_lines(lines)
+    (rt, rr), _ = K.find_rotation_or_skew(
+        cl, np.deg2rad(0.5), np.deg2rad(1.0), omit_on_rot_thresh=np.deg2rad(0.5))
+    assert rt == "r"
+    assert abs(np.rad2deg(rr) - 1.0) < 0.3  # within hough theta quantization
+
+
+@pytest.mark.slow
+def test_image_path_cells_match_ground_truth(spark):
+    params = synth.CorpusParams(seed=13, n_docs=6, n_cols=4, with_images=True,
+                                rotation_deg=1.0,
+                                page_dist=((1, 0.7), (2, 0.3)))
+    pipe = PipelineParams(n_cols=4, min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    boxes_df = synth.textboxes_df(spark, params)
+    pages_df = synth.pages_df(spark, params)
+    media = synth.media_df(spark, params)
+    cells = extract_cells_image_path(boxes_df, pages_df, media, pipe)
+    gt = synth.gt_cells_df(spark, params)
+    joined = cells.join(
+        gt.withColumnRenamed("cell_text", "gt_text"),
+        ["doc_id", "page", "row_idx", "col_idx"], "full_outer")
+    bad = joined.where(~F.col("cell_text").eqNullSafe(F.col("gt_text")))
+    rows = bad.limit(10).collect()
+    assert not rows, "image-path cell mismatches: %s" % rows
