@@ -1,0 +1,102 @@
+"""Per-partition checkpoint / lineage / metrics with idempotent resume
+(north rule; SURVEY §3.4 stage 6).
+
+The corpus is bucketed by hash(doc_id) % n_buckets; each run
+
+  1. reads the progress table and anti-joins DONE buckets out of the input,
+  2. extracts the remaining buckets in one job (full parallelism — the
+     bucket is a bookkeeping unit, not an execution unit),
+  3. writes output parquet partitioned by bucket (dynamic overwrite: a
+     re-run of a bucket replaces its files, never duplicates),
+  4. appends one progress row per completed bucket with lineage
+     (params hash, code version, run id) and extraction metrics.
+
+Killing a run between 3 and 4 leaves at worst a bucket whose files exist
+but whose progress row is missing — the next run overwrites exactly those
+files (same partition directory) and then records it: idempotent.
+"""
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import __version__
+from .pipeline import PipelineParams, extract_from_span_table
+
+PROGRESS_SCHEMA = ("bucket int, status string, n_docs long, n_spans long, "
+                   "params_hash string, code_version string, run_id string, "
+                   "finished_at double")
+
+
+def params_hash(params: PipelineParams, n_buckets: int) -> str:
+    payload = json.dumps({**asdict(params), "n_buckets": n_buckets},
+                         sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _done_buckets(spark: SparkSession, progress_path: str, phash: str):
+    if not os.path.exists(progress_path):
+        return set()
+    try:
+        rows = (spark.read.parquet(progress_path)
+                .where((F.col("status") == "done") & (F.col("params_hash") == phash))
+                .select("bucket").distinct().collect())
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def run_with_checkpoint(spark: SparkSession, span_docs: DataFrame,
+                        params: PipelineParams, output_path: str,
+                        progress_path: str, n_buckets: int = 64,
+                        run_id: str = None, with_images: bool = False) -> dict:
+    """Execute the extraction with bucket-level checkpointing; returns a
+    summary dict {resumed_buckets, processed_buckets, n_spans}."""
+    phash = params_hash(params, n_buckets)
+    run_id = run_id or hashlib.md5(str(time.time()).encode()).hexdigest()[:12]
+
+    done = _done_buckets(spark, progress_path, phash)
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    docs = span_docs.withColumn("bucket", bucket)
+    if done:
+        docs = docs.where(~F.col("bucket").isin(*sorted(done)))
+
+    pending = docs.select("bucket").distinct().collect()
+    pending_buckets = sorted(r["bucket"] for r in pending)
+    if not pending_buckets:
+        return {"resumed_buckets": sorted(done), "processed_buckets": [],
+                "n_spans": 0}
+
+    spans = extract_from_span_table(docs.drop("bucket"), params,
+                                    with_images=with_images)
+    spans = spans.withColumn("bucket",
+                             F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+
+    # dynamic partition overwrite: only the buckets present in this run's
+    # output are replaced — done buckets' files are untouched
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spans.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
+
+    # metrics + lineage per completed bucket, read back from the output
+    # (what was durably written, not what we hoped to write)
+    written = spark.read.parquet(output_path).where(
+        F.col("bucket").isin(*pending_buckets))
+    metrics = (written.groupBy("bucket")
+               .agg(F.countDistinct("doc_id").alias("n_docs"),
+                    F.count("*").alias("n_spans"))
+               .withColumn("status", F.lit("done"))
+               .withColumn("params_hash", F.lit(phash))
+               .withColumn("code_version", F.lit(__version__))
+               .withColumn("run_id", F.lit(run_id))
+               .withColumn("finished_at", F.lit(time.time())))
+    metrics.select([c.strip().split(" ")[0] for c in PROGRESS_SCHEMA.split(",")]) \
+        .write.mode("append").parquet(progress_path)
+
+    n_spans = written.count()
+    return {"resumed_buckets": sorted(done),
+            "processed_buckets": pending_buckets,
+            "n_spans": n_spans, "run_id": run_id}
