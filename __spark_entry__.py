@@ -55,18 +55,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _PORTABLE_HASH_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
 _PORTABLE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
-# minhash parameters (shared by Spark expr and oracle SQL)
-_MH_P = 2147483647
-_MH_AB = [(1299721, 104729), (15485863, 32452843), (49979687, 86028121),
-          (67867967, 122949823), (141650939, 15485867), (198491317, 5915587),
-          (217645199, 87178291), (236887691, 179424673)]
+# minhash / LSH parameters shared between the Spark operators
+# (pdftabextract_spark.operators.dedup / .similarity) and the oracle SQL
+from pdftabextract_spark.operators.dedup import MINHASH_P as _MH_P, MINHASH_AB as _MH_AB
+from pdftabextract_spark.operators.similarity import ANN_K as _ANN_K, hyperplanes as _hyperplanes
 
-# deterministic +/-1 hyperplanes for ANN LSH (seeded, inlined identically
-# into the Spark plan and the oracle SQL)
-_ANN_K = 8
 _ANN_DIM = 64
-_ANN_PLANES = (np.where(np.random.RandomState(123).rand(_ANN_K, _ANN_DIM) < 0.5,
-                        -1.0, 1.0)).tolist()
+_ANN_PLANES = _hyperplanes(_ANN_DIM, _ANN_K)
 
 
 def _q(fn):
@@ -226,23 +221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q14_dedup_exact(spark, sf):
         # exact dedup by content hash: keep min doc_id per text
+        from pdftabextract_spark.operators.dedup import exact_dedup
         d = _load(spark, sf, "documents")
-        return (d.groupBy(F.md5("text").alias("h"))
-                 .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
-                 .where(F.col("dups") >= 1)
-                 .groupBy("dups").agg(F.count("*").alias("n_groups"),
-                                      F.min("keep_id").alias("min_keep")))
+        return (exact_dedup(d)
+                .groupBy("dups").agg(F.count("*").alias("n_groups"),
+                                     F.min("keep_id").alias("min_keep")))
 
     def q15_minhash_signatures(spark, sf):
         # MinHash over word sets with portable md5-derived hashing
-        d = _load(spark, sf, "documents")
-        words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")) \
-                 .where(F.col("w") != "").distinct()
-        x = F.expr(_PORTABLE_HASH_SPARK.format(x="w"))
-        hw = words.withColumn("x", x)
-        aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(_MH_P)).alias(f"s{i}")
-                for i, (a, b) in enumerate(_MH_AB)]
-        return hw.groupBy("doc_id").agg(*aggs)
+        from pdftabextract_spark.operators.dedup import minhash_signatures
+        return minhash_signatures(_load(spark, sf, "documents"))
 
     def q16_minhash_lsh_buckets(spark, sf):
         # LSH banding: 2 bands of 4 rows -> bucket sizes
@@ -257,127 +245,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q17_simhash(spark, sf):
         # 16-bit SimHash over word multiset (md5-derived bits)
-        d = _load(spark, sf, "documents")
-        words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")) \
-                 .where(F.col("w") != "")
-        x = F.expr(_PORTABLE_HASH_SPARK.format(x="w"))
-        hw = words.withColumn("x", x)
-        bit_sums = [F.sum(F.when((F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1))) == 1, 1)
-                          .otherwise(-1)).alias(f"b{j}") for j in range(16)]
-        agg = hw.groupBy("doc_id").agg(*bit_sums)
-        sim = None
-        for j in range(16):
-            term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            sim = term if sim is None else sim + term
-        return agg.select("doc_id", sim.cast("long").alias("simhash"))
+        from pdftabextract_spark.operators.dedup import simhash
+        return simhash(_load(spark, sf, "documents"))
 
     def q18_ngram_jaccard(spark, sf):
         # word-3-gram Jaccard near-dup candidate pairs (shingle equi-join)
-        d = _load(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("ws"))
-        d = d.where(F.size("ws") >= 3)
-        sh = d.select(
-            "doc_id",
-            F.explode(F.transform(
-                F.sequence(F.lit(0), F.size("ws") - 3),
-                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, 3)))).alias("s")
-        ).distinct()
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        a = sh.alias("a")
-        b = sh.alias("b")
-        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-                  .agg(F.count("*").alias("common")))
-        sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-        sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-        jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
-        return (pairs.join(sa, "d1").join(sb, "d2")
-                     .withColumn("jaccard", F.round(jac, 6))
-                     .where(F.col("jaccard") >= 0.2)
-                     .select("d1", "d2", "common", "jaccard"))
+        from pdftabextract_spark.operators.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(_load(spark, sf, "documents"), n=3, threshold=0.2)
 
     def q19_cosine_topk(spark, sf):
         # brute-force cosine top-5 neighbors for query vectors (ANN baseline)
-        e = _load(spark, sf, "embeddings").select(
-            "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
-        q = e.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
-                                           F.lit(0.0), lambda acc, x: acc + x))
-        j = q.crossJoin(e).where(F.col("q_id") != F.col("vec_id"))
-        cos = dot / (nrm(F.col("qv")) * nrm(F.col("v")))
-        scored = j.select("q_id", "vec_id", cos.alias("_cos"))
-        w = W.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
-        return (scored.withColumn("rk", F.row_number().over(w))
-                      .where(F.col("rk") <= 5)
-                      .select("q_id", F.col("rk").cast("long").alias("rk"),
-                              "vec_id", F.round("_cos", 6).alias("cos")))
+        from pdftabextract_spark.operators.similarity import cosine_topk
+        return cosine_topk(_load(spark, sf, "embeddings"), query_ids=[0, 1, 2], k=5)
 
     def q20_ann_lsh_buckets(spark, sf):
-        # hyperplane-LSH bucketing (the scale path for similarity search):
-        # sign bits of dot products with seeded +/-1 planes
-        e = _load(spark, sf, "embeddings").select(
-            "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("v"))
-        bucket = None
-        for k in range(_ANN_K):
-            plane = F.array(*[F.lit(c) for c in _ANN_PLANES[k]])
-            dot = F.aggregate(F.zip_with(plane, F.col("v"), lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, x: acc + x)
-            bit = F.when(dot > 0, F.lit(1 << k)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        return (e.select("vec_id", bucket.cast("long").alias("bucket"))
-                 .groupBy("bucket").agg(F.count("*").alias("n")))
+        # hyperplane-LSH bucketing (the scale path for similarity search)
+        from pdftabextract_spark.operators.similarity import lsh_bucket
+        return (lsh_bucket(_load(spark, sf, "embeddings"), dim=_ANN_DIM, k=_ANN_K)
+                .groupBy("bucket").agg(F.count("*").alias("n")))
 
     def q21_langid(spark, sf):
-        # n-gram/stopword language heuristic over documents
-        d = _load(spark, sf, "documents")
-        ws = F.split("text", " ")
-        def score(words_set):
-            arr = F.array(*[F.lit(w) for w in words_set])
-            return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
-        s_en = score(["the", "a", "of", "and"])
-        s_sql = score(["table", "join", "query", "scan"])
-        s_spark = score(["spark", "batch", "stream", "shuffle"])
-        guess = (F.when((s_en >= s_sql) & (s_en >= s_spark) & (s_en > 0), "en")
-                  .when((s_sql >= s_spark) & (s_sql > 0), "sqlish")
-                  .when(s_spark > 0, "sparkish").otherwise("unknown"))
-        return (d.select("doc_id", guess.alias("lang_guess"))
-                 .groupBy("lang_guess").agg(F.count("*").alias("n")))
+        # stopword-vote language heuristic over documents
+        from pdftabextract_spark.operators.textstats import langid
+        return (langid(_load(spark, sf, "documents"))
+                .groupBy("lang_guess").agg(F.count("*").alias("n")))
 
     def q22_quality_score(spark, sf):
         # quality scoring: length / mean word length / stopword ratio
-        d = _load(spark, sf, "documents")
-        ws = F.split("text", " ")
-        n_words = F.size(ws)
-        mean_len = F.length(F.regexp_replace("text", " ", "")) / n_words
-        stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"))
-        stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))) / n_words
-        raw = (F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
-               + F.least(F.lit(1.0), mean_len / F.lit(8.0)) * 0.3
-               + (1 - stop_ratio) * 0.2)
-        # floor(x*1e6+0.5)/1e6 instead of round(): identical double math on
-        # Spark and DuckDB (DuckDB's round() goes through decimal repr and
-        # can flip the last digit on .4999... doubles)
-        score = F.floor(raw * 1e6 + 0.5) / 1e6
-        return d.select("doc_id", n_words.cast("long").alias("n_words"),
-                        score.alias("quality"))
+        from pdftabextract_spark.operators.textstats import quality_score
+        return quality_score(_load(spark, sf, "documents"))
 
     def q23_token_count(spark, sf):
         # whitespace + regex token counting
-        d = _load(spark, sf, "documents")
-        ws_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
-        re_tokens = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
-        return (d.select("doc_id", ws_tokens.cast("long").alias("ws_tokens"),
-                         re_tokens.cast("long").alias("re_tokens")))
+        from pdftabextract_spark.operators.textstats import token_counts
+        return token_counts(_load(spark, sf, "documents"))
 
     def q24_fingerprint(spark, sf):
         # document fingerprint: md5 of normalized text
-        d = _load(spark, sf, "documents")
-        norm = F.lower(F.regexp_replace(F.trim("text"), " +", " "))
-        return (d.select("doc_id", F.md5(norm).alias("fp"))
-                 .groupBy("fp").agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
-                 .groupBy("n").agg(F.count("*").alias("n_groups"), F.min("min_doc").alias("min_doc")))
+        from pdftabextract_spark.operators.textstats import fingerprint
+        return (fingerprint(_load(spark, sf, "documents"))
+                .groupBy("fp").agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+                .groupBy("n").agg(F.count("*").alias("n_groups"), F.min("min_doc").alias("min_doc")))
 
     def q25_overlap_interval_join(spark, sf):
         # 1-D interval overlap theta-join (geom.overlap, geom.py:55-65):

@@ -1,0 +1,126 @@
+"""Deduplication operators for large text corpora (first-class engine
+components per the build brief): exact hashing, MinHash+LSH, SimHash, and
+n-gram Jaccard. All hashing is md5-derived so results are portable across
+engines (the DuckDB oracles in __spark_entry__ compute identical values).
+
+Scale notes: exact dedup is one hash-groupBy; minhash/simhash shuffle once
+on doc_id after the word explode (map-side partial min/sum aggregation
+keeps the exchange small); LSH banding turns the quadratic near-dup
+problem into an equi-join on band buckets; the shingle join for n-gram
+Jaccard is bounded by shingle frequency — salting hot shingles or capping
+document frequency (stop-shingle removal) is the knob at 100 TB, exposed
+as ``max_shingle_df``.
+"""
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+PORTABLE_HASH = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+
+MINHASH_P = 2147483647
+MINHASH_AB = [(1299721, 104729), (15485863, 32452843), (49979687, 86028121),
+              (67867967, 122949823), (141650939, 15485867), (198491317, 5915587),
+              (217645199, 87178291), (236887691, 179424673)]
+
+
+def exact_dedup(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Exact dedup: md5 content hash -> keep the minimum id per group.
+    Returns (hash, keep_id, dups)."""
+    return (docs.groupBy(F.md5(text_col).alias("h"))
+            .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dups")))
+
+
+def _words(docs: DataFrame, text_col, id_col, distinct=True) -> DataFrame:
+    w = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(text_col, " ")).alias("w")) \
+            .where(F.col("w") != "")
+    return w.distinct() if distinct else w
+
+
+def minhash_signatures(docs: DataFrame, text_col="text", id_col="doc_id",
+                       hashes=MINHASH_AB, p=MINHASH_P) -> DataFrame:
+    """MinHash over the word set: sig_i = min((a_i*h(w)+b_i) mod p)."""
+    hw = _words(docs, text_col, id_col).withColumn(
+        "x", F.expr(PORTABLE_HASH.format(x="w")))
+    aggs = [F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(p)).alias(f"s{i}")
+            for i, (a, b) in enumerate(hashes)]
+    return hw.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
+                      bands=2) -> DataFrame:
+    """LSH candidate pairs: split the 8-hash signature into ``bands`` bands
+    and equi-join docs sharing a full band. Returns (d1, d2, n_bands)."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    n = len(MINHASH_AB)
+    per = n // bands
+    parts = []
+    for bidx in range(bands):
+        cols = [f"s{i}" for i in range(bidx * per, (bidx + 1) * per)]
+        parts.append(sig.select(
+            "doc_id", F.lit(bidx).alias("band"),
+            F.concat_ws(",", *cols).alias("bucket")))
+    all_bands = parts[0]
+    for pdf in parts[1:]:
+        all_bands = all_bands.unionByName(pdf)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+def simhash(docs: DataFrame, text_col="text", id_col="doc_id", bits=16) -> DataFrame:
+    """SimHash over the word multiset with md5-derived bit sources."""
+    hw = _words(docs, text_col, id_col, distinct=False).withColumn(
+        "x", F.expr(PORTABLE_HASH.format(x="w")))
+    sums = [F.sum(F.when((F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1))) == 1, 1)
+                  .otherwise(-1)).alias(f"b{j}") for j in range(bits)]
+    agg = hw.groupBy("doc_id").agg(*sums)
+    val = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return agg.select("doc_id", val.cast("long").alias("simhash"))
+
+
+def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (JVM-side transform over
+    sequence — no Python)."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("ws"))
+    d = d.where(F.size("ws") >= n)
+    return d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("ws") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))).alias("s")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
+                        text_col="text", id_col="doc_id",
+                        max_shingle_df=None) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold via shingle
+    equi-join. ``max_shingle_df`` drops shingles appearing in more than
+    that many docs (stop-shingles) — THE scale knob: it bounds the join
+    fanout per shingle at the cost of slightly underestimating overlap of
+    boilerplate-heavy pairs."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("s").count().where(F.col("count") > max_shingle_df) \
+                .select("s")
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+             .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    return (pairs.join(sa, "d1").join(sb, "d2")
+            .withColumn("jaccard", F.round(jac, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "common", "jaccard"))
