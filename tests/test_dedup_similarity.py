@@ -1,0 +1,102 @@
+"""Dedup / similarity / textstats operator semantics on crafted corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdftabextract_spark.operators import dedup as D
+from pdftabextract_spark.operators import similarity as S
+from pdftabextract_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),         # near dup
+        (4, "spark shuffle partitions batch stream engine"),
+        (5, "completely different words here entirely unrelated"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dups"] for r in D.exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1 and 2 collapse, min id kept
+    assert sum(out.values()) == 5
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = {r["doc_id"]: tuple(r[f"s{i}"] for i in range(8))
+           for r in D.minhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+    # near-dup shares most minhash components
+    shared = sum(a == b for a, b in zip(sig[1], sig[3]))
+    assert shared >= 4
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["d1"], r["d2"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham <= ham_far
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.2 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # a shingle present in every doc is dropped by the df cap
+    rows = [(i, "common shingle words unique%d tail%d extra" % (i, i))
+            for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(d, threshold=0.01).count()
+    capped = D.ngram_jaccard_pairs(d, threshold=0.01, max_shingle_df=2).count()
+    assert uncapped > 0
+    assert capped == 0  # only the universal shingle connected the docs
+
+
+def test_cosine_topk_and_ann_agree_on_top1(spark):
+    rng = np.random.RandomState(7)
+    base = rng.rand(40, 16).astype("float32")
+    base[1] = base[0] * 0.9 + 0.01  # vec 1 nearly parallel to vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = S.cosine_topk(e, [0], k=3).orderBy("rk").collect()
+    assert exact[0]["vec_id"] == 1
+    ann = S.ann_topk(e, [0], dim=16, k=3, lsh_bits=4).orderBy("rk").collect()
+    # near-parallel vectors share all sign bits -> same bucket -> found
+    assert ann[0]["vec_id"] == 1
+    assert ann[0]["cos"] == exact[0]["cos"]
+
+
+def test_textstats(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "table join query scan scan"),
+         (3, "zzz yyy")],
+        "doc_id long, text string")
+    lang = {r["doc_id"]: r["lang_guess"] for r in T.langid(d).collect()}
+    assert lang == {1: "en", 2: "sqlish", 3: "unknown"}
+    tok = {r["doc_id"]: (r["ws_tokens"], r["re_tokens"])
+           for r in T.token_counts(d).collect()}
+    assert tok[1] == (3, 3)
+    assert tok[2] == (5, 5)
+    fp = {r["doc_id"]: r["fp"] for r in T.fingerprint(
+        spark.createDataFrame([(1, "A  b"), (2, "a b ")],
+                              "doc_id long, text string")).collect()}
+    assert fp[1] == fp[2]  # normalization collapses case/extra spaces
+    q = {r["doc_id"]: r["quality"] for r in T.quality_score(d).collect()}
+    assert all(0 <= v <= 1 for v in q.values())
