@@ -63,22 +63,49 @@ def assign_cells_joined(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     import pandas as pd
     from ..kernels.gridfit import fit_page_boxes
 
+    import numpy as np
+    from ..kernels.gridfit import assign_boxes_to_cells
+
     joined = boxes.join(
         positions.select("doc_id", "page", "col_positions", "row_positions"),
         ["doc_id", "page"])
 
-    out_cols = ["doc_id", "page", "box_id", "left", "value", "row_idx", "col_idx"]
-
     def kernel(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            parts = []
-            for _, grp in pdf.groupby(["doc_id", "page"], sort=False):
-                fitted = fit_page_boxes(
-                    grp, grp.iloc[0]["col_positions"], grp.iloc[0]["row_positions"])
-                parts.append(fitted[out_cols])
-            yield pd.concat(parts, ignore_index=True)
+            # group by page via sort + slice on numpy arrays — no per-page
+            # pandas sub-frames/copies (53k pages per job add up)
+            key = (pdf["doc_id"].astype(str) + "\x00" + pdf["page"].astype(str)).to_numpy()
+            order = np.argsort(key, kind="stable")
+            l = pdf["left"].to_numpy(dtype=float)[order]
+            t = pdf["top"].to_numpy(dtype=float)[order]
+            r = l + pdf["width"].to_numpy(dtype=float)[order]
+            b = t + pdf["height"].to_numpy(dtype=float)[order]
+            col_pos = pdf["col_positions"].to_numpy()[order]
+            row_pos = pdf["row_positions"].to_numpy()[order]
+            sorted_key = key[order]
+            bounds = np.flatnonzero(np.concatenate(
+                [[True], sorted_key[1:] != sorted_key[:-1], [True]]))
+            out_row = np.empty(n, dtype=np.int64)
+            out_col = np.empty(n, dtype=np.int64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                ltrb = np.stack([l[s:e], t[s:e], r[s:e], b[s:e]], axis=1)
+                ri, ci = assign_boxes_to_cells(ltrb, col_pos[s], row_pos[s])
+                out_row[s:e] = ri
+                out_col[s:e] = ci
+            inv = np.empty(n, dtype=np.int64)
+            inv[order] = np.arange(n)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "page": pdf["page"].to_numpy(),
+                "box_id": pdf["box_id"].to_numpy(),
+                "left": pdf["left"].to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "row_idx": out_row[inv],
+                "col_idx": out_col[inv],
+            })
 
     return joined.mapInPandas(kernel, schema=_ASSIGN_SCHEMA)
 

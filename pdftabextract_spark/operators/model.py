@@ -34,17 +34,35 @@ def normalized_centers(centers: DataFrame, group_cols=("doc_id", "page")) -> Dat
         "center_norm", F.col("center") - F.min("center").over(w))
 
 
+MAX_DRIVER_POOL = 5_000_000  # pooled centers; ~40MB of doubles
+
+
 def fit_column_model(centers: DataFrame, n_required_clusters: int,
                      dist_thresh: float, group_cols=("doc_id", "page")) -> np.ndarray:
     """Stages A(norm)+B+C: returns the normalized model array (driver-side
-    numpy, broadcast-sized)."""
+    numpy, broadcast-sized).
+
+    Fast path: the pooled normalized centers are ~pages x columns doubles —
+    collect and run the exact numpy kernels (sorting 10^5-10^6 floats on
+    the driver beats a single-partition window by seconds). Above
+    MAX_DRIVER_POOL values fall back to the distributed single-ordering
+    summary; at true web scale the fit is sharded per layout family before
+    this point (SURVEY §7)."""
     pooled = normalized_centers(centers, group_cols).select("center_norm")
+
+    arrow = pooled.toPandas()["center_norm"].to_numpy(dtype=float)
+    if len(arrow) <= MAX_DRIVER_POOL:
+        cluster_ind = find_clusters_1d_break_dist(arrow, dist_thresh)
+        clusters_w_vals = zip_clusters_and_values(cluster_ind, arrow)
+        # order clusters by ascending value like the window formulation
+        clusters_w_vals.sort(key=lambda cw: cw[1].min())
+        model, _ = fit_center_model(clusters_w_vals, n_required_clusters)
+        return model
+
     summary = global_cluster_summary(pooled, "center_norm", dist_thresh)
     rows = summary.orderBy("cluster_id").collect()
-
-    # reconstruct the (indices, values) shape fit_center_model expects;
-    # it only consumes len(values) and median(values), so synthesize
-    # count-length arrays filled with the exact cluster median
+    # fit_center_model only consumes len(values) and median(values), so
+    # synthesize count-length arrays filled with the exact cluster median
     clusters_w_vals = [
         (np.arange(r["n"]), np.full(r["n"], float(r["center"])))
         for r in rows

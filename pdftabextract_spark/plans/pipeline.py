@@ -61,12 +61,13 @@ def page_extents(boxes: DataFrame) -> DataFrame:
 
 
 def column_positions(boxes: DataFrame, params: PipelineParams,
-                     extents: DataFrame = None) -> DataFrame:
+                     extents: DataFrame = None, centers: DataFrame = None) -> DataFrame:
     """Per-page column borders via text-left clustering + corpus model
     repair (schoollist_2-style columns, §3.3, with the catalogue's
     get_adjusted_cluster_centers model fit)."""
-    centers = cluster_centers(
-        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
+    if centers is None:
+        centers = cluster_centers(
+            boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
     repaired = fit_and_repair(
         centers, params.n_cols, params.model_break_dist,
         same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)
@@ -135,7 +136,15 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
         # plan each branch
         boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
     extents = page_extents(boxes)
-    cols = column_positions(boxes, params, extents)
+    # per-page column cluster centers feed BOTH the corpus model fit
+    # (driver collect) and the per-page repair — persist the tiny frame
+    # (one row per page-cluster) so the window over boxes runs once
+    centers = cluster_centers(
+        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
+    if persist:
+        from pyspark import StorageLevel
+        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
+    cols = column_positions(boxes, params, extents, centers)
     rows = row_positions(boxes, params, extents)
     positions = cols.join(rows, ["doc_id", "page"])
     if persist:
