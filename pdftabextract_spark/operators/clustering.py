@@ -51,6 +51,58 @@ def cluster_centers(df: DataFrame, value_col: str, dist_thresh: float,
     )
 
 
+def cluster_centers_pluggable(df: DataFrame, value_col: str, group_cols,
+                              method: str = "break_dist", center="median",
+                              stddev_thresh: float = None, **method_kwargs) -> DataFrame:
+    """Pluggable clustering strategy per group (SURVEY §2.11: the reference
+    exposes any callable(positions) -> clusters; the engine exposes the
+    registry {break_dist, hierarchical}), with the optional
+    remove_cluster_sections_stddev_thresh filter (imgproc.py:326-328 —
+    population stddev).
+
+    break_dist runs as the window op; hierarchical runs the numpy
+    single-linkage kernel per group in one Arrow-batched applyInPandas
+    (group values are tens-to-hundreds of floats)."""
+    import numpy as np
+    import pandas as pd
+
+    group_cols = list(group_cols)
+    if method == "break_dist":
+        clustered = with_cluster_ids(df, value_col,
+                                     method_kwargs["dist_thresh"], group_cols)
+        agg = [F.expr(f"percentile({value_col}, 0.5)").alias("center"),
+               F.count("*").alias("n"),
+               F.stddev_pop(value_col).alias("_sd")]
+        out = clustered.groupBy(*group_cols, "cluster_id").agg(*agg)
+    elif method == "hierarchical":
+        from ..kernels.clustering import (
+            find_clusters_1d_hierarchical, zip_clusters_and_values)
+        t = float(method_kwargs["t"])
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            vals = pdf[value_col].to_numpy(dtype=float)
+            clusters = find_clusters_1d_hierarchical(vals, t)
+            rows = []
+            for cid, (ind, cv) in enumerate(
+                    zip_clusters_and_values(clusters, vals)):
+                rows.append(tuple(pdf.iloc[0][c] for c in group_cols)
+                            + (cid, float(np.median(cv)), len(cv),
+                               float(np.std(cv))))
+            return pd.DataFrame(rows, columns=group_cols + [
+                "cluster_id", "center", "n", "_sd"])
+
+        schema = ", ".join(
+            [f"{c} string" if c == "doc_id" else f"{c} int" for c in group_cols]
+            + ["cluster_id int", "center double", "n long", "_sd double"])
+        out = df.groupBy(*group_cols).applyInPandas(kern, schema=schema)
+    else:
+        raise ValueError("unknown clustering method %r" % method)
+
+    if stddev_thresh is not None:
+        out = out.where(F.col("_sd") < F.lit(float(stddev_thresh)))
+    return out.drop("_sd")
+
+
 def global_cluster_summary(df: DataFrame, value_col: str, dist_thresh: float) -> DataFrame:
     """Cluster ALL rows (no grouping) and return (center, n) per cluster.
 

@@ -179,3 +179,51 @@ def line_border_centers(lines: DataFrame, pages: DataFrame,
     positions = sel.mapInPandas(kernel, schema="doc_id string, page int, pos double")
     return cluster_centers(positions, "pos", dist_thresh, ("doc_id", "page"),
                            center="median")
+
+
+def filter_empty_cluster_sections(centers: DataFrame, boxes: DataFrame,
+                                  direction: str, n_texts_ratio: float,
+                                  scaling: float = 1.0) -> DataFrame:
+    """Empty-section removal (imgproc.py:330-360): drop line clusters whose
+    preceding band contains too few textboxes; the cluster right before
+    the first kept one is re-included. Sequential per page (prev-center
+    chaining) -> cogrouped applyInPandas calling the numpy kernel.
+
+    ``centers``: (doc_id, page, cluster_id, center, n);
+    ``direction``: 'v' filters column clusters against box left/right,
+    'h' against top/bottom."""
+    import pandas as pd
+    from ..kernels.imgproc import remove_empty_cluster_sections
+
+    if direction == "v":
+        lo_col, hi_col = "left", "right"
+    else:
+        lo_col, hi_col = "top", "bottom"
+    b = boxes.select(
+        "doc_id", "page",
+        F.col("left" if direction == "v" else "top").alias("lo"),
+        ((F.col("left") + F.col("width")) if direction == "v"
+         else (F.col("top") + F.col("height"))).alias("hi"))
+
+    def kern(key, centers_pdf: pd.DataFrame, boxes_pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id, page = key
+        if len(centers_pdf) == 0:
+            return pd.DataFrame(columns=["doc_id", "page", "cluster_id", "center", "n"])
+        # kernel operates on (indices, values); feed each cluster's center
+        # as a singleton value set (centers already reduced) — the band
+        # semantics depend only on the centers and box borders
+        cw = [(np.array([i]), np.array([c]))
+              for i, c in zip(centers_pdf["cluster_id"], centers_pdf["center"])]
+        kept = remove_empty_cluster_sections(
+            cw, boxes_pdf["lo"].to_numpy(), boxes_pdf["hi"].to_numpy(),
+            n_texts_ratio, scaling)
+        kept_ids = {int(ind[0]) for ind, _ in kept}
+        out = centers_pdf[centers_pdf["cluster_id"].isin(kept_ids)].copy()
+        out["doc_id"] = doc_id
+        out["page"] = page
+        return out[["doc_id", "page", "cluster_id", "center", "n"]]
+
+    return (centers.groupBy("doc_id", "page")
+            .cogroup(b.groupBy("doc_id", "page"))
+            .applyInPandas(kern, schema="doc_id string, page int, "
+                                        "cluster_id int, center double, n long"))
