@@ -110,6 +110,75 @@ def assign_cells_joined(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     return joined.mapInPandas(kernel, schema=_ASSIGN_SCHEMA)
 
 
+def assign_and_pack(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+    """Fused assignment + cell-text materialization: one Arrow-batched
+    mapInPandas stage emitting ONE ROW PER PAGE:
+    (doc_id, page, n_rows, n_cols, cells array<string> row-major,
+    n_unmatched). No grid-side shuffle at all — the long-form cells join
+    (grid x texts, ~2x corpus rows through the exchange) and the
+    document-wide result window disappear; offsets derive from page-level
+    cumsums downstream. Cell-text parity: join_texts (sort by (left,
+    box_id), ' '-join, strip — textboxes.py:154-162)."""
+    import numpy as np
+    import pandas as pd
+    from ..kernels.gridfit import assign_boxes_to_cells
+
+    joined = boxes.join(
+        positions.select("doc_id", "page", "col_positions", "row_positions"),
+        ["doc_id", "page"])
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            key = (pdf["doc_id"].astype(str) + "\x00" + pdf["page"].astype(str)).to_numpy()
+            order = np.argsort(key, kind="stable")
+            l = pdf["left"].to_numpy(dtype=float)[order]
+            t = pdf["top"].to_numpy(dtype=float)[order]
+            r = l + pdf["width"].to_numpy(dtype=float)[order]
+            b = t + pdf["height"].to_numpy(dtype=float)[order]
+            box_id = pdf["box_id"].to_numpy()[order]
+            value = pdf["value"].to_numpy()[order]
+            doc_ids = pdf["doc_id"].to_numpy()[order]
+            pages = pdf["page"].to_numpy()[order]
+            col_pos = pdf["col_positions"].to_numpy()[order]
+            row_pos = pdf["row_positions"].to_numpy()[order]
+            sorted_key = key[order]
+            bounds = np.flatnonzero(np.concatenate(
+                [[True], sorted_key[1:] != sorted_key[:-1], [True]]))
+            out = []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                cp = np.asarray(col_pos[s], dtype=float)
+                rp = np.asarray(row_pos[s], dtype=float)
+                n_rows, n_cols = len(rp) - 1, len(cp) - 1
+                ltrb = np.stack([l[s:e], t[s:e], r[s:e], b[s:e]], axis=1)
+                ri, ci = assign_boxes_to_cells(ltrb, cp, rp)
+                matched = ri >= 0
+                cell_idx = ri[matched] * n_cols + ci[matched]
+                cells = [""] * (n_rows * n_cols)
+                if cell_idx.size:
+                    lefts = l[s:e][matched]
+                    bids = box_id[matched.nonzero()[0] + s]
+                    vals = value[matched.nonzero()[0] + s]
+                    ordc = np.lexsort((bids, lefts, cell_idx))
+                    ci_sorted = cell_idx[ordc]
+                    v_sorted = vals[ordc]
+                    cuts = np.flatnonzero(np.concatenate(
+                        [[True], ci_sorted[1:] != ci_sorted[:-1], [True]]))
+                    for cs, ce in zip(cuts[:-1], cuts[1:]):
+                        cells[int(ci_sorted[cs])] = " ".join(
+                            str(v) for v in v_sorted[cs:ce]).strip()
+                out.append((doc_ids[s], int(pages[s]), n_rows, n_cols,
+                            cells, int((~matched).sum())))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "page", "n_rows", "n_cols", "cells", "n_unmatched"])
+
+    return joined.mapInPandas(
+        kernel, schema="doc_id string, page int, n_rows int, n_cols int, "
+                       "cells array<string>, n_unmatched int")
+
+
 def assign_cells_sql(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     """Relational formulation: explode the grid, join on the candidate
     range predicates, window-argmax per box. Exact same candidate and

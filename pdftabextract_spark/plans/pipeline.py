@@ -150,8 +150,42 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
     if persist:
         from pyspark import StorageLevel
         positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = assign_cells_joined(boxes, positions)
-    return cell_texts(assigned, positions)
+    packed = assign_and_pack_from(boxes, positions)
+    # long form for callers/tests; pure JVM explode off the packed rows —
+    # no shuffle (the packed kernel already did the heavy lifting)
+    return (packed.select(
+        "doc_id", "page", "n_cols",
+        F.posexplode("cells").alias("pos", "cell_text"))
+        .select("doc_id", "page",
+                (F.col("pos") / F.col("n_cols")).cast("int").alias("row_idx"),
+                (F.col("pos") % F.col("n_cols")).cast("int").alias("col_idx"),
+                "cell_text"))
+
+
+def extract_cells_packed(boxes: DataFrame, params: PipelineParams,
+                         persist: bool = True) -> DataFrame:
+    """Like extract_cells but returns the packed per-page form
+    (doc_id, page, n_rows, n_cols, cells array, n_unmatched) — the shape
+    the span assembler consumes without any further wide shuffle."""
+    boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
+    if persist:
+        from pyspark import StorageLevel
+        boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
+    extents = page_extents(boxes)
+    centers = cluster_centers(
+        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
+    if persist:
+        from pyspark import StorageLevel
+        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
+    cols = column_positions(boxes, params, extents, centers)
+    rows = row_positions(boxes, params, extents)
+    positions = cols.join(rows, ["doc_id", "page"])
+    return assign_and_pack_from(boxes, positions)
+
+
+def assign_and_pack_from(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+    from ..operators.grid import assign_and_pack
+    return assign_and_pack(boxes, positions)
 
 
 def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
@@ -237,12 +271,53 @@ def result_spans(cells: DataFrame, pages: DataFrame = None) -> DataFrame:
     )
 
 
+def result_spans_packed(packed: DataFrame, pages: DataFrame = None) -> DataFrame:
+    """Packed per-page cells -> ordered result spans. Offsets come from a
+    page-level cumulative sum (one window over #pages rows) instead of a
+    document-wide row sort over every span — the scale-defining change for
+    wide corpora."""
+    per_page = packed.select(
+        "doc_id", "page", "n_cols", "cells",
+        F.size("cells").alias("_n_text"))
+    if pages is not None:
+        media = pages.select("doc_id", "page", "media_ref")
+        per_page = per_page.join(media, ["doc_id", "page"], "left")
+        has_img = F.col("media_ref").isNotNull()
+    else:
+        per_page = per_page.withColumn("media_ref", F.lit(None).cast("string"))
+        has_img = F.lit(False)
+    per_page = per_page.withColumn("_n_spans",
+                                   F.col("_n_text") + F.when(has_img, 1).otherwise(0))
+    w = W.partitionBy("doc_id").orderBy("page") \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    per_page = per_page.withColumn(
+        "_base", F.sum("_n_spans").over(w) - F.col("_n_spans"))
+
+    text_spans = per_page.select(
+        "doc_id", "_base", "media_ref",
+        F.posexplode("cells").alias("_pos", "text"),
+    ).select(
+        "doc_id", F.lit("text").alias("kind"), "text",
+        F.lit(None).cast("string").alias("media_ref"),
+        (F.col("_base") + F.col("_pos")
+         + F.when(F.col("media_ref").isNotNull(), 1).otherwise(0)
+         ).cast("int").alias("offset"),
+    )
+    if pages is None:
+        return text_spans
+    image_spans = per_page.where(F.col("media_ref").isNotNull()).select(
+        "doc_id", F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        "media_ref", F.col("_base").cast("int").alias("offset"))
+    return text_spans.unionByName(image_spans)
+
+
 def extract_from_span_table(span_docs: DataFrame, params: PipelineParams,
                             with_images: bool = False) -> DataFrame:
     """North-rule span table in -> result spans out (exploded form)."""
     from ..sources.spans import textboxes_from_spans, pages_from_spans
 
     boxes = textboxes_from_spans(span_docs)
-    cells = extract_cells(boxes, params)
+    packed = extract_cells_packed(boxes, params)
     pages = pages_from_spans(span_docs) if with_images else None
-    return result_spans(cells, pages)
+    return result_spans_packed(packed, pages)

@@ -32,7 +32,10 @@ def get_spark(app_name="pdftabextract_spark", cores=None, shuffle_partitions=Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one Arrow batch ~ a bounded number of pages/boxes per Python call
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap is ALL the memory there is; size it
+        # to the machine (the sandbox has 128GiB) — an 8g heap makes big
+        # persists evict/spill and large jobs go superlinear
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the grid-assignment cogroup joins a frame with an aggregate derived
