@@ -196,23 +196,23 @@ def fit_center_model(centers_norm_clusters, n_required_clusters):
     if len(centers_norm_clusters) < n_required_clusters:
         return np.array(sorted(np.median(vals) for _, vals in centers_norm_clusters)), False
 
+    # The reference's loop (clustering.py:120-136) counts min_n_values down
+    # from the LARGEST cluster size, appending each pass's still-unseen
+    # cluster medians in list order and removing appended clusters. With
+    # static lengths/medians this is exactly: visit clusters in decreasing
+    # length (stable on list order), skip duplicate median VALUES, stop at
+    # n_required. The direct loop is O(max_len x clusters x median) — at
+    # web scale max_len is the page count, so we run the equivalent
+    # O(C log C) form (equivalence property-tested against a direct port
+    # in tests/test_kernels_clustering.py).
+    pre = [(len(vals), i, np.median(vals)) for i, (_, vals) in enumerate(centers_norm_clusters)]
+    pre.sort(key=lambda x: (-x[0], x[1]))
     medians = []
-    clusters = list(centers_norm_clusters)
-    min_n_start = max(len(ind) for ind, _ in clusters)
-    for min_n_values in range(min_n_start, 0, -1):
-        remove_ids = []
-        done = False
-        for i, (_, vals) in enumerate(clusters):
-            m = np.median(vals)
-            if len(vals) >= min_n_values and m not in medians:
-                medians.append(m)
-                remove_ids.append(i)
-            if len(medians) == n_required_clusters:
-                done = True
-                break
-        if done:
+    for _length, _i, m in pre:
+        if m not in medians:
+            medians.append(m)
+        if len(medians) == n_required_clusters:
             break
-        clusters = [c for i, c in enumerate(clusters) if i not in remove_ids]
 
     assert len(medians) == n_required_clusters
     return np.array(sorted(medians)), True

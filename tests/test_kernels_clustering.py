@@ -240,3 +240,49 @@ def test_get_adjusted_cluster_centers_golden():
     assert np.allclose(adjusted[1], [100.5, 200.5, 300.5, 400.5])
     # page 2's missing column is interpolated from the corpus model
     assert np.allclose(np.diff(adjusted[2]), [100, 100, 100], atol=1.0)
+
+
+def _fit_center_model_reference_loop(centers_norm_clusters, n_required):
+    """Direct port of the reference's iterative filter
+    (clustering.py:115-140) used as the equivalence oracle."""
+    if len(centers_norm_clusters) < n_required:
+        return np.array(sorted(np.median(v) for _, v in centers_norm_clusters)), False
+    medians = []
+    clusters = list(centers_norm_clusters)
+    min_n_start = max(len(ind) for ind, _ in clusters)
+    for min_n_values in range(min_n_start, 0, -1):
+        remove_ids = []
+        done = False
+        for i, (_, vals) in enumerate(clusters):
+            m = np.median(vals)
+            if len(vals) >= min_n_values and m not in medians:
+                medians.append(m)
+                remove_ids.append(i)
+            if len(medians) == n_required:
+                done = True
+                break
+        if done:
+            break
+        clusters = [c for i, c in enumerate(clusters) if i not in remove_ids]
+    assert len(medians) == n_required
+    return np.array(sorted(medians)), True
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.lists(st.lists(ints, min_size=1, max_size=8), min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=12))
+def test_fit_center_model_equivalent_to_reference_loop(cluster_vals, n_required):
+    from pdftabextract_spark.kernels.clustering import fit_center_model
+    cw = [(np.arange(len(v)), np.array(v, dtype=float)) for v in cluster_vals]
+    # distinct-median count must be >= n_required for the loop to terminate
+    distinct = []
+    for _, v in cw:
+        m = np.median(v)
+        if m not in distinct:
+            distinct.append(m)
+    if len(cw) >= n_required and len(distinct) < n_required:
+        return  # both variants would fail the same assert — skip
+    got, ok1 = fit_center_model(cw, n_required)
+    expect, ok2 = _fit_center_model_reference_loop(cw, n_required)
+    assert ok1 == ok2
+    assert np.array_equal(got, expect)
