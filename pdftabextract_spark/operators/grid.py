@@ -126,53 +126,73 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     joined = boxes.join(
         positions.select("doc_id", "page", "col_positions", "row_positions"),
         ["doc_id", "page"])
+    # the kernel aggregates PER PAGE: every page's rows must live in one
+    # partition (hash repartition) and arrive contiguously (sort within);
+    # the kernel additionally carries the trailing page group across Arrow
+    # batch boundaries — without this, pages straddling a batch emit
+    # duplicate partial rows and the output depends on parallelism
+    joined = joined.repartition("doc_id", "page") \
+                   .sortWithinPartitions("doc_id", "page")
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf["left"].to_numpy(dtype=float)
+        t = pdf["top"].to_numpy(dtype=float)
+        r = l + pdf["width"].to_numpy(dtype=float)
+        b = t + pdf["height"].to_numpy(dtype=float)
+        box_id = pdf["box_id"].to_numpy()
+        value = pdf["value"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        pages = pdf["page"].to_numpy()
+        col_pos = pdf["col_positions"].to_numpy()
+        row_pos = pdf["row_positions"].to_numpy()
+        key = pdf["_key"].to_numpy()
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], key[1:] != key[:-1], [True]]))
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cp = np.asarray(col_pos[s], dtype=float)
+            rp = np.asarray(row_pos[s], dtype=float)
+            n_rows, n_cols = len(rp) - 1, len(cp) - 1
+            ltrb = np.stack([l[s:e], t[s:e], r[s:e], b[s:e]], axis=1)
+            ri, ci = assign_boxes_to_cells(ltrb, cp, rp)
+            matched = ri >= 0
+            cell_idx = ri[matched] * n_cols + ci[matched]
+            cells = [""] * (n_rows * n_cols)
+            if cell_idx.size:
+                midx = matched.nonzero()[0] + s
+                lefts = l[s:e][matched]
+                bids = box_id[midx]
+                vals = value[midx]
+                ordc = np.lexsort((bids, lefts, cell_idx))
+                ci_sorted = cell_idx[ordc]
+                v_sorted = vals[ordc]
+                cuts = np.flatnonzero(np.concatenate(
+                    [[True], ci_sorted[1:] != ci_sorted[:-1], [True]]))
+                for cs, ce in zip(cuts[:-1], cuts[1:]):
+                    cells[int(ci_sorted[cs])] = " ".join(
+                        str(v) for v in v_sorted[cs:ce]).strip()
+            out.append((doc_ids[s], int(pages[s]), n_rows, n_cols,
+                        cells, int((~matched).sum())))
+        return pd.DataFrame(out, columns=[
+            "doc_id", "page", "n_rows", "n_cols", "cells", "n_unmatched"])
 
     def kernel(batches):
+        carry = None
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            key = (pdf["doc_id"].astype(str) + "\x00" + pdf["page"].astype(str)).to_numpy()
-            order = np.argsort(key, kind="stable")
-            l = pdf["left"].to_numpy(dtype=float)[order]
-            t = pdf["top"].to_numpy(dtype=float)[order]
-            r = l + pdf["width"].to_numpy(dtype=float)[order]
-            b = t + pdf["height"].to_numpy(dtype=float)[order]
-            box_id = pdf["box_id"].to_numpy()[order]
-            value = pdf["value"].to_numpy()[order]
-            doc_ids = pdf["doc_id"].to_numpy()[order]
-            pages = pdf["page"].to_numpy()[order]
-            col_pos = pdf["col_positions"].to_numpy()[order]
-            row_pos = pdf["row_positions"].to_numpy()[order]
-            sorted_key = key[order]
-            bounds = np.flatnonzero(np.concatenate(
-                [[True], sorted_key[1:] != sorted_key[:-1], [True]]))
-            out = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                cp = np.asarray(col_pos[s], dtype=float)
-                rp = np.asarray(row_pos[s], dtype=float)
-                n_rows, n_cols = len(rp) - 1, len(cp) - 1
-                ltrb = np.stack([l[s:e], t[s:e], r[s:e], b[s:e]], axis=1)
-                ri, ci = assign_boxes_to_cells(ltrb, cp, rp)
-                matched = ri >= 0
-                cell_idx = ri[matched] * n_cols + ci[matched]
-                cells = [""] * (n_rows * n_cols)
-                if cell_idx.size:
-                    lefts = l[s:e][matched]
-                    bids = box_id[matched.nonzero()[0] + s]
-                    vals = value[matched.nonzero()[0] + s]
-                    ordc = np.lexsort((bids, lefts, cell_idx))
-                    ci_sorted = cell_idx[ordc]
-                    v_sorted = vals[ordc]
-                    cuts = np.flatnonzero(np.concatenate(
-                        [[True], ci_sorted[1:] != ci_sorted[:-1], [True]]))
-                    for cs, ce in zip(cuts[:-1], cuts[1:]):
-                        cells[int(ci_sorted[cs])] = " ".join(
-                            str(v) for v in v_sorted[cs:ce]).strip()
-                out.append((doc_ids[s], int(pages[s]), n_rows, n_cols,
-                            cells, int((~matched).sum())))
-            yield pd.DataFrame(out, columns=[
-                "doc_id", "page", "n_rows", "n_cols", "cells", "n_unmatched"])
+            pdf = pdf.assign(
+                _key=pdf["doc_id"].astype(str) + "\x00" + pdf["page"].astype(str))
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_key = pdf["_key"].iloc[-1]
+            hold = pdf["_key"] == last_key
+            carry = pdf[hold]
+            emit = pdf[~hold]
+            if len(emit):
+                yield _process(emit)
+        if carry is not None and len(carry):
+            yield _process(carry)
 
     return joined.mapInPandas(
         kernel, schema="doc_id string, page int, n_rows int, n_cols int, "

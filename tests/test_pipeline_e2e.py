@@ -65,3 +65,23 @@ def test_cells_match_ground_truth(spark):
     bad = joined.where(~F.col("cell_text").eqNullSafe(F.col("gt_text")))
     rows = bad.limit(10).collect()
     assert not rows, "cell mismatches: %s" % rows
+
+
+def test_packed_pages_unique_across_batch_splits(spark):
+    """Pages straddling Arrow batches must not emit duplicate partial rows
+    (regression: output depended on parallelism)."""
+    from pdftabextract_spark.plans.pipeline import extract_cells_packed
+    # tiny Arrow batches force every page to straddle batch boundaries
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        boxes = textboxes_from_spans(synth.span_docs_df(spark, PARAMS))
+        packed = extract_cells_packed(boxes, PIPE)
+        total = packed.count()
+        distinct = packed.select("doc_id", "page").distinct().count()
+        assert total == distinct
+        n_spans = packed.agg(F.sum(F.size("cells"))).collect()[0][0]
+        expected = synth.expected_spans_df(spark, PARAMS).count()
+        assert n_spans == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
