@@ -110,7 +110,8 @@ def assign_cells_joined(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     return joined.mapInPandas(kernel, schema=_ASSIGN_SCHEMA)
 
 
-def assign_and_pack(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+def assign_and_pack(boxes: DataFrame, positions: DataFrame,
+                    page_contiguous: bool = False) -> DataFrame:
     """Fused assignment + cell-text materialization: one Arrow-batched
     mapInPandas stage emitting ONE ROW PER PAGE:
     (doc_id, page, n_rows, n_cols, cells array<string> row-major,
@@ -127,12 +128,15 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame) -> DataFrame:
         positions.select("doc_id", "page", "col_positions", "row_positions"),
         ["doc_id", "page"])
     # the kernel aggregates PER PAGE: every page's rows must live in one
-    # partition (hash repartition) and arrive contiguously (sort within);
-    # the kernel additionally carries the trailing page group across Arrow
-    # batch boundaries — without this, pages straddling a batch emit
-    # duplicate partial rows and the output depends on parallelism
-    joined = joined.repartition("doc_id", "page") \
-                   .sortWithinPartitions("doc_id", "page")
+    # partition and arrive contiguously; the kernel carries the trailing
+    # page group across Arrow batch boundaries — without all this, pages
+    # straddling a batch emit duplicate partial rows and the output
+    # depends on parallelism. Boxes exploded from the span table are
+    # page-contiguous by construction (one doc row -> one exploded run,
+    # spans in offset order), so that path skips the exchange.
+    if not page_contiguous:
+        joined = joined.repartition("doc_id", "page") \
+                       .sortWithinPartitions("doc_id", "page")
 
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         l = pdf["left"].to_numpy(dtype=float)

@@ -114,7 +114,7 @@ def row_positions(boxes: DataFrame, params: PipelineParams,
 
 
 def extract_cells(boxes: DataFrame, params: PipelineParams,
-                  persist: bool = True) -> DataFrame:
+                  persist: bool = True, page_contiguous: bool = False) -> DataFrame:
     """boxes -> (doc_id, page, row_idx, col_idx, cell_text) full grid.
 
     ``persist``: the exploded textbox table feeds five downstream branches
@@ -150,7 +150,7 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
     if persist:
         from pyspark import StorageLevel
         positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
-    packed = assign_and_pack_from(boxes, positions)
+    packed = assign_and_pack_from(boxes, positions, page_contiguous)
     # long form for callers/tests; pure JVM explode off the packed rows —
     # no shuffle (the packed kernel already did the heavy lifting)
     return (packed.select(
@@ -163,7 +163,7 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
 
 
 def extract_cells_packed(boxes: DataFrame, params: PipelineParams,
-                         persist: bool = True) -> DataFrame:
+                         persist: bool = True, page_contiguous: bool = False) -> DataFrame:
     """Like extract_cells but returns the packed per-page form
     (doc_id, page, n_rows, n_cols, cells array, n_unmatched) — the shape
     the span assembler consumes without any further wide shuffle."""
@@ -180,12 +180,13 @@ def extract_cells_packed(boxes: DataFrame, params: PipelineParams,
     cols = column_positions(boxes, params, extents, centers)
     rows = row_positions(boxes, params, extents)
     positions = cols.join(rows, ["doc_id", "page"])
-    return assign_and_pack_from(boxes, positions)
+    return assign_and_pack_from(boxes, positions, page_contiguous)
 
 
-def assign_and_pack_from(boxes: DataFrame, positions: DataFrame) -> DataFrame:
+def assign_and_pack_from(boxes: DataFrame, positions: DataFrame,
+                         page_contiguous: bool = False) -> DataFrame:
     from ..operators.grid import assign_and_pack
-    return assign_and_pack(boxes, positions)
+    return assign_and_pack(boxes, positions, page_contiguous)
 
 
 def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
@@ -318,6 +319,7 @@ def extract_from_span_table(span_docs: DataFrame, params: PipelineParams,
     from ..sources.spans import textboxes_from_spans, pages_from_spans
 
     boxes = textboxes_from_spans(span_docs)
-    packed = extract_cells_packed(boxes, params)
+    # exploded span-table boxes are page-contiguous by construction
+    packed = extract_cells_packed(boxes, params, page_contiguous=True)
     pages = pages_from_spans(span_docs) if with_images else None
     return result_spans_packed(packed, pages)
