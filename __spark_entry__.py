@@ -301,6 +301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (j.groupBy("band_id").agg(F.count("*").alias("n"))
                  .select(F.col("band_id").cast("long").alias("band_id"), "n"))
 
+    def q26_ann_topk(spark, sf):
+        # ANN: exact cosine re-rank restricted to the query's LSH bucket —
+        # the scale path verified end-to-end against the SQL oracle
+        from pdftabextract_spark.operators.similarity import ann_topk
+        return ann_topk(_load(spark, sf, "embeddings"), query_ids=[0, 1, 2],
+                        dim=_ANN_DIM, k=5)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q40_extract_cells_synth(spark, sf):
@@ -600,6 +607,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN bands
               ON o_totalprice - 2500.0 <= hi AND lo <= o_totalprice + 2500.0
             GROUP BY band_id
+        """,
+        "q26_ann_topk": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST({ann_bucket} AS BIGINT) AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+                  FROM b WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.q_id, b.vec_id,
+                     list_dot_product(q.qv, b.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM q JOIN b ON q.qb = b.bucket
+              WHERE q.q_id <> b.vec_id)
+            SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(c, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY c DESC, vec_id ASC) AS rk FROM scored) t
+            WHERE rk <= 5
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.

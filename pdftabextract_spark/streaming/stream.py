@@ -39,6 +39,68 @@ def incremental_extract(spark: SparkSession, input_dir: str, output_dir: str,
             .start())
 
 
+def stateful_sessionize(events_stream: DataFrame, gap_seconds: int = 1800,
+                        timeout_seconds: int = 3600):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    user, maintain the open session (start, last_ts, n_events) across
+    micro-batches; emit a session row when the gap to the next event
+    exceeds ``gap_seconds`` or the state times out. This is the streaming
+    form of the batch gaps-and-islands sessionization (operators/textboxes
+    chain semantics) — batch and stream agree on session boundaries."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (
+        StructType, StructField, LongType, DoubleType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", DoubleType()),
+        StructField("session_end", DoubleType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                sessions.append((user_id, s, last, n))
+                state.remove()
+        else:
+            ts = []
+            for pdf in pdfs:
+                ts.extend(pdf["ts"].astype("int64").to_numpy() / 1e9)
+            ts.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s = last = None
+                n = 0
+            for t in ts:
+                if last is not None and t - last > gap_seconds:
+                    sessions.append((user_id, s, last, n))
+                    s, n = t, 0
+                if s is None:
+                    s = t
+                last = t
+                n += 1
+            state.update((float(s), float(last), int(n)))
+            state.setTimeoutDuration(timeout_seconds * 1000)
+        yield pd.DataFrame(sessions, columns=[
+            "user_id", "session_start", "session_end", "n_events"])
+
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", "ProcessingTimeTimeout"))
+
+
 def windowed_event_counts(events_stream: DataFrame,
                           window: str = "5 minutes",
                           slide: str = "1 minute",
