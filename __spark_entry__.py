@@ -308,6 +308,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_topk(_load(spark, sf, "embeddings"), query_ids=[0, 1, 2],
                         dim=_ANN_DIM, k=5)
 
+    def q27_ivf_topk(spark, sf):
+        # IVF ANN: broadcast coarse-quantizer assignment + nprobe-list
+        # exact re-rank — the scale path when bucket recall of
+        # hyperplane-LSH is insufficient (complements q26)
+        from pdftabextract_spark.operators.similarity import ivf_topk
+        return ivf_topk(_load(spark, sf, "embeddings"), query_ids=[0, 1, 2],
+                        k=5, nlist=16, nprobe=2)
+
+    def q28_embedding_neardup_pairs(spark, sf):
+        # embedding-cosine near-duplicate pairs with LSH-bucket blocking:
+        # only same-bucket pairs are scored (no corpus crossJoin)
+        from pdftabextract_spark.operators.similarity import embedding_neardup_pairs
+        return embedding_neardup_pairs(_load(spark, sf, "embeddings"),
+                                       dim=_ANN_DIM, threshold=0.3)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q40_extract_cells_synth(spark, sf):
@@ -626,6 +641,54 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                           ORDER BY c DESC, vec_id ASC) AS rk FROM scored) t
             WHERE rk <= 5
+        """,
+        "q27_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < 16),
+            ass AS (
+              SELECT vec_id, v, list_id FROM (
+                SELECT e.vec_id, e.v, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(c.cv, e.v)
+                           / (sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(e.v, e.v))) DESC,
+                         c.list_id ASC) AS rk
+                FROM e CROSS JOIN c) t WHERE rk = 1),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            probes AS (
+              SELECT q_id, qv, list_id FROM (
+                SELECT q.q_id, q.qv, c.list_id,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         list_dot_product(c.cv, q.qv)
+                           / (sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                         c.list_id ASC) AS prk
+                FROM q CROSS JOIN c) t WHERE prk <= 2),
+            scored AS (
+              SELECT p.q_id, a.vec_id,
+                     list_dot_product(p.qv, a.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(a.v, a.v))) AS c
+              FROM probes p JOIN ass a ON p.list_id = a.list_id
+              WHERE p.q_id <> a.vec_id)
+            SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(c, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY c DESC, vec_id ASC) AS rk FROM scored) t
+            WHERE rk <= 5
+        """,
+        "q28_embedding_neardup_pairs": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST({ann_bucket} AS BIGINT) AS bucket
+              FROM embeddings)
+            SELECT a, b, cos FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+              FROM b x JOIN b y
+                ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+            WHERE cos >= 0.3
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.

@@ -120,10 +120,6 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame,
     document-wide result window disappear; offsets derive from page-level
     cumsums downstream. Cell-text parity: join_texts (sort by (left,
     box_id), ' '-join, strip — textboxes.py:154-162)."""
-    import numpy as np
-    import pandas as pd
-    from ..kernels.gridfit import assign_boxes_to_cells
-
     joined = boxes.join(
         positions.select("doc_id", "page", "col_positions", "row_positions"),
         ["doc_id", "page"])
@@ -133,10 +129,21 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame,
     # straddling a batch emit duplicate partial rows and the output
     # depends on parallelism. Boxes exploded from the span table are
     # page-contiguous by construction (one doc row -> one exploded run,
-    # spans in offset order), so that path skips the exchange.
+    # spans in offset order), so that path skips the exchange; a runtime
+    # invariant inside pack_joined fails loudly if the assumption breaks.
     if not page_contiguous:
         joined = joined.repartition("doc_id", "page") \
                        .sortWithinPartitions("doc_id", "page")
+    return pack_joined(joined)
+
+
+def pack_joined(joined: DataFrame) -> DataFrame:
+    """Joined (boxes x page positions) rows -> one packed row per page.
+    PRECONDITION: rows of one (doc_id, page) arrive contiguously within a
+    partition; violations raise (never silent duplicates)."""
+    import numpy as np
+    import pandas as pd
+    from ..kernels.gridfit import assign_boxes_to_cells
 
     def _process(pdf: pd.DataFrame) -> pd.DataFrame:
         l = pdf["left"].to_numpy(dtype=float)
@@ -181,6 +188,28 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame,
             "doc_id", "page", "n_rows", "n_cols", "cells", "n_unmatched"])
 
     def kernel(batches):
+        # runtime contiguity invariant: the kernel closes a page group the
+        # moment a different key follows it; if a closed key ever recurs in
+        # this partition, the input was NOT page-contiguous (join reordered
+        # rows / page split across batches in a way the carry can't mend)
+        # and silent duplicate per-page rows would corrupt offsets
+        # downstream — fail loudly instead.
+        seen = set()
+
+        def check_and_emit(pdf):
+            keys = pdf["_key"].to_numpy()
+            cuts = np.flatnonzero(np.concatenate(
+                [[True], keys[1:] != keys[:-1]]))
+            for k in keys[cuts]:
+                if k in seen:
+                    raise RuntimeError(
+                        "assign_and_pack: page key %r recurred after its "
+                        "group closed — input rows are not page-contiguous "
+                        "(use page_contiguous=False to force the exchange)"
+                        % (k,))
+                seen.add(k)
+            return _process(pdf)
+
         carry = None
         for pdf in batches:
             if len(pdf) == 0:
@@ -194,9 +223,9 @@ def assign_and_pack(boxes: DataFrame, positions: DataFrame,
             carry = pdf[hold]
             emit = pdf[~hold]
             if len(emit):
-                yield _process(emit)
+                yield check_and_emit(emit)
         if carry is not None and len(carry):
-            yield _process(carry)
+            yield check_and_emit(carry)
 
     return joined.mapInPandas(
         kernel, schema="doc_id string, page int, n_rows int, n_cols int, "

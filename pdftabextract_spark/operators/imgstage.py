@@ -72,6 +72,13 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
         (rs_type, rs_rad), filtered = K.find_rotation_or_skew(
             lh, rot_thresh, rot_same_dir_thresh,
             omit_on_rot_thresh=omit_on_rot_thresh, only_direction=only_direction)
+        if not filtered:
+            # the rotation decision is independent of the stray-line filter
+            # side effect (the reference returns it regardless,
+            # imgproc.py:264-275): when every line was filtered out, still
+            # carry the page's decision on a sentinel row (direction NULL)
+            # so rotate_boxes_back can repair the page's boxes.
+            filtered = [(np.nan, np.nan, np.nan, None)]
         out = pd.DataFrame(filtered, columns=["rho", "theta", "theta_norm", "direction"])
         out.insert(0, "doc_id", doc_id)
         out.insert(1, "page", page)
@@ -84,7 +91,7 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
     rotations = (enriched.groupBy("doc_id", "page")
                  .agg(F.first("rot_type").alias("rot_type"),
                       F.first("rot_radians").alias("rot_radians")))
-    filtered_lines = enriched.select(
+    filtered_lines = enriched.where(F.col("direction").isNotNull()).select(
         "doc_id", "page", "rho", "theta", "theta_norm", "direction")
     return rotations, filtered_lines
 
@@ -95,10 +102,21 @@ def apply_rotation_to_lines(lines_with_rot: DataFrame, sign: float = -1.0) -> Da
     renormalized. Expects rho/theta/theta_norm/direction/rot_type/
     rot_radians columns.
 
-    ``sign``: with the y-down raster convention of the synthetic renderer,
-    straightening requires SUBTRACTING the found angle (verified
-    empirically: theta=alpha lines + found=alpha need theta-alpha≈0);
-    sign=+1.0 reproduces the reference's literal += semantics."""
+    ``sign`` — WHICH CONVENTION DIFFERS (pinned, see
+    tests/test_image_path.py::test_rotation_sign_convention): under the
+    cv2 parameterization rho = x*cos(theta) + y*sin(theta) (used by
+    cv2.HoughLines, our Hough kernel, and the synthetic renderer alike),
+    rotating page content by +alpha moves a vertical line's theta from 0
+    to +alpha, and the reference's deviation chain
+    (imgproc.py:214-228: d=-theta_norm, +pi fold, append(-d)) then
+    returns found = +alpha. Straightening therefore requires
+    theta -= found. The reference's literal `theta += radians`
+    (imgproc.py:169) moves lines AWAY from straight — residual tilt 2*alpha
+    — a latent quirk of the reference itself, invisible at its <1 degree
+    use cases because downstream only consumes approximate line midpoints.
+    Default sign=-1.0 is the corrective (straightening) convention;
+    sign=+1.0 reproduces the reference's literal semantics for parity
+    experiments."""
     affected = (
         F.col("rot_type").isNotNull() & ~F.isnan(F.col("rot_radians")) & (
             (F.col("rot_type") == "r")

@@ -90,3 +90,79 @@ def ann_topk(embeddings: DataFrame, query_ids, dim: int, k=5,
             .where(F.col("rk") <= k)
             .select("q_id", F.col("rk").cast("long").alias("rk"),
                     "vec_id", F.round("_cos", 6).alias("cos")))
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 2
+
+
+def ivf_assign(embeddings: DataFrame, nlist: int = IVF_NLIST,
+               id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid list (argmax cosine; ties -> lowest list id).
+
+    The "trained" centroids are the first ``nlist`` vectors by id — a
+    deterministic quantizer both engines (and the SQL oracle) can
+    reproduce; on a real corpus they'd come from a k-means fit, which
+    only changes how the centroid table is produced, not this operator.
+    The centroid table is broadcast (nlist x dim doubles), so assignment
+    is a map-only stage — no shuffle at any corpus size."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    cents = e.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
+    j = e.join(F.broadcast(cents))
+    cos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
+    w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("list_id").asc())
+    return (j.select("vec_id", "v", "list_id", cos.alias("_cos"))
+             .withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") == 1)
+             .select("vec_id", "v", F.col("list_id").cast("long").alias("list_id")))
+
+
+def ivf_topk(embeddings: DataFrame, query_ids, k=5, nlist: int = IVF_NLIST,
+             nprobe: int = IVF_NPROBE, id_col="vec_id",
+             vec_col="embedding") -> DataFrame:
+    """IVF search: per query, probe the ``nprobe`` nearest centroid lists
+    and exact-cosine re-rank only those lists' members. The probe join is
+    an equi-join on list_id (shuffle bounded by candidate lists), never a
+    crossJoin against the corpus."""
+    assigned = ivf_assign(embeddings, nlist, id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    cents = e.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
+    q = e.where(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    qc = q.join(F.broadcast(cents))
+    ccos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    wq = W.partitionBy("q_id").orderBy(F.col("_ccos").desc(), F.col("list_id").asc())
+    probes = (qc.select("q_id", "qv", "list_id", ccos.alias("_ccos"))
+                .withColumn("prk", F.row_number().over(wq))
+                .where(F.col("prk") <= nprobe)
+                .select("q_id", "qv", F.col("list_id").cast("long").alias("list_id")))
+    cand = probes.join(assigned, "list_id").where(F.col("q_id") != F.col("vec_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = cand.select("q_id", "vec_id", cos.alias("_cos"))
+    w = W.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("q_id", F.col("rk").cast("long").alias("rk"),
+                    "vec_id", F.round("_cos", 6).alias("cos")))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, dim: int, threshold=0.9,
+                            lsh_bits: int = ANN_K, id_col="vec_id",
+                            vec_col="embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs: LSH-bucket
+    prejoin (only same-bucket pairs are scored — the blocking step that
+    makes all-pairs dedup feasible at corpus scale), then exact cosine >=
+    threshold, emitted once per unordered pair (a < b)."""
+    bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col, vec_col=vec_col)
+    a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"),
+                        F.col("bucket").alias("b_bucket"))
+    j = a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a") < F.col("b")))
+    cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    return (j.select("a", "b", F.round(cos, 6).alias("cos"))
+             .where(F.col("cos") >= threshold))

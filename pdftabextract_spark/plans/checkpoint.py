@@ -18,7 +18,6 @@ files (same partition directory) and then records it: idempotent.
 
 import hashlib
 import json
-import os
 import time
 from dataclasses import asdict
 
@@ -38,10 +37,19 @@ def params_hash(params: PipelineParams, n_buckets: int) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Probe any Spark-readable filesystem (local, HDFS, s3a, ...) via the
+    Hadoop FileSystem API — os.path.exists only works for local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _done_buckets(spark: SparkSession, progress_path: str, phash: str):
-    if not os.path.exists(progress_path):
-        return set()
     try:
+        if not _hadoop_path_exists(spark, progress_path):
+            return set()
         rows = (spark.read.parquet(progress_path)
                 .where((F.col("status") == "done") & (F.col("params_hash") == phash))
                 .select("bucket").distinct().collect())
@@ -82,12 +90,23 @@ def run_with_checkpoint(spark: SparkSession, span_docs: DataFrame,
     spans.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 
     # metrics + lineage per completed bucket, read back from the output
-    # (what was durably written, not what we hoped to write)
-    written = spark.read.parquet(output_path).where(
-        F.col("bucket").isin(*pending_buckets))
-    metrics = (written.groupBy("bucket")
-               .agg(F.countDistinct("doc_id").alias("n_docs"),
-                    F.count("*").alias("n_spans"))
+    # (what was durably written, not what we hoped to write). Every
+    # PENDING bucket gets a progress row — a bucket whose docs legitimately
+    # produce zero spans writes no output partition, but it is still done;
+    # without its row it would be re-extracted on every subsequent run.
+    try:
+        written = spark.read.parquet(output_path).where(
+            F.col("bucket").isin(*pending_buckets))
+        written.schema  # force analysis: empty dir -> no inferable schema
+    except Exception:  # nothing at all was written (all pending buckets empty)
+        written = spans.where(F.lit(False))
+    written_metrics = written.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_spans"))
+    pending_df = spark.createDataFrame(
+        [(b,) for b in pending_buckets], "bucket int")
+    metrics = (pending_df.join(written_metrics, "bucket", "left")
+               .na.fill({"n_docs": 0, "n_spans": 0})
                .withColumn("status", F.lit("done"))
                .withColumn("params_hash", F.lit(phash))
                .withColumn("code_version", F.lit(__version__))

@@ -291,8 +291,20 @@ def result_spans_packed(packed: DataFrame, pages: DataFrame = None) -> DataFrame
                                    F.col("_n_text") + F.when(has_img, 1).otherwise(0))
     w = W.partitionBy("doc_id").orderBy("page") \
          .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # duplicate-(doc_id,page) guard: a page split across kernel partitions
+    # upstream would emit two partial packed rows and silently corrupt
+    # every later offset in the doc. The check rides the window partition
+    # the cumsum already needs (lag = no extra exchange) and fails the job
+    # instead. Folded into _base so Catalyst cannot prune it.
+    w_ord = W.partitionBy("doc_id").orderBy("page")
+    no_dup = F.coalesce(F.lag("page").over(w_ord) != F.col("page"), F.lit(True))
+    dup_probe = F.coalesce(
+        F.assert_true(no_dup, F.lit(
+            "result_spans_packed: duplicate (doc_id, page) packed row — "
+            "upstream page contiguity was violated")).cast("long"),
+        F.lit(0))
     per_page = per_page.withColumn(
-        "_base", F.sum("_n_spans").over(w) - F.col("_n_spans"))
+        "_base", F.sum("_n_spans").over(w) - F.col("_n_spans") + dup_probe)
 
     text_spans = per_page.select(
         "doc_id", "_base", "media_ref",

@@ -46,15 +46,47 @@ def textboxes_from_spans(span_docs: DataFrame) -> DataFrame:
 
 
 def pages_from_spans(span_docs: DataFrame) -> DataFrame:
-    """kind='image' spans -> (doc_id, page, media_ref); page number is the
-    1-based rank of the image span within the doc."""
-    spans = explode_spans(span_docs).where(F.col("kind") == "image")
+    """kind='image' spans -> (doc_id, page, media_ref).
+
+    The page an image belongs to is derived from its POSITION among the
+    doc's text spans, not from its rank among image spans: in the
+    interleaved layout (both synth and pdf2xml ingestion) a page's image
+    span immediately precedes that page's text spans, so the image takes
+    the page of the next text span by offset. Rank-based numbering
+    misattributes images whenever some pages carry no image span (e.g.
+    pdf2xml docs where only a few pages were scanned). Fallbacks: a
+    trailing image with no following text takes prev-text-page + 1; a doc
+    with no text spans at all falls back to image rank. One media row per
+    (doc_id, page) — lowest offset wins, the reference's
+    select_image='first' (common.py:97-122)."""
     from pyspark.sql import Window as W
+
+    spans = explode_spans(span_docs)
+    text_page = F.when(
+        F.col("kind") == "text",
+        F.from_json("text", _BOX_JSON_SCHEMA)["p"])
     w = W.partitionBy("doc_id").orderBy("offset")
-    return spans.select(
-        "doc_id", "media_ref",
-        F.row_number().over(w).alias("page"),
+    w_next = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_prev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    enriched = (
+        spans.withColumn("_tp", text_page)
+        .withColumn("_next_pg", F.first("_tp", ignorenulls=True).over(w_next))
+        .withColumn("_prev_pg", F.last("_tp", ignorenulls=True).over(w_prev))
     )
+    imgs = enriched.where(F.col("kind") == "image")
+    w_img = W.partitionBy("doc_id").orderBy("offset")
+    imgs = imgs.select(
+        "doc_id", "media_ref", "offset",
+        F.coalesce(
+            F.col("_next_pg"),
+            F.col("_prev_pg") + F.lit(1),
+            F.row_number().over(w_img),
+        ).cast("int").alias("page"),
+    )
+    w_pg = W.partitionBy("doc_id", "page").orderBy("offset")
+    return (imgs.withColumn("_rn", F.row_number().over(w_pg))
+                .where(F.col("_rn") == 1)
+                .select("doc_id", "page", "media_ref"))
 
 
 def assemble_span_table(result_spans: DataFrame) -> DataFrame:

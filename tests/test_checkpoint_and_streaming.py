@@ -105,7 +105,8 @@ def test_stateful_sessionize_across_microbatches(spark):
             return [(user, t0 + dt.timedelta(minutes=m)) for m in offsets_min]
         schema = "user_id long, ts timestamp"
         # batch 1: two events 5 min apart (open session)
-        spark.createDataFrame(rows([0, 5]), schema) \
+        # one file per logical batch -> deterministic arrival order
+        spark.createDataFrame(rows([0, 5]), schema).coalesce(1) \
             .write.mode("overwrite").parquet(in_dir)
 
         stream = (spark.readStream.schema(schema)
@@ -119,7 +120,7 @@ def test_stateful_sessionize_across_microbatches(spark):
 
         # batch 2: continuation at +10min, then a gap > 30min -> closes
         # the first session and opens a second
-        spark.createDataFrame(rows([10, 50]), schema) \
+        spark.createDataFrame(rows([10, 50]), schema).coalesce(1) \
             .write.mode("append").parquet(in_dir)
         q.processAllAvailable()
         got = spark.sql("SELECT * FROM sess").collect()
@@ -130,3 +131,39 @@ def test_stateful_sessionize_across_microbatches(spark):
         assert s["session_end"] - s["session_start"] == 600.0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_zero_span_buckets_still_converge_to_done(spark, tmpdirs):
+    """A pending bucket whose docs produce zero result spans must still get
+    a progress row (n_docs=n_spans=0), so reruns don't re-extract it
+    forever (ADVICE r1)."""
+    out_path, prog_path = tmpdirs
+    # docs whose only text spans are zero-area boxes: dropped at scan, so
+    # the whole corpus extracts to zero spans and writes no output files
+    rows = [
+        ("empty-%d" % i,
+         [{"kind": "text",
+           "text": '{"v":"ZERO","l":1.0,"t":1.0,"w":0.0,"h":5.0,"p":1}',
+           "media_ref": None, "offset": 0}])
+        for i in range(6)
+    ]
+    span_docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<"
+              "kind string, text string, media_ref string, offset int>>")
+
+    r1 = run_with_checkpoint(spark, span_docs, PIPE, out_path, prog_path,
+                             n_buckets=4)
+    assert r1["n_spans"] == 0
+    assert r1["processed_buckets"]  # buckets existed and were processed
+
+    prog = spark.read.parquet(prog_path)
+    recorded = {r["bucket"] for r in prog.where(
+        F.col("status") == "done").select("bucket").collect()}
+    assert recorded == set(r1["processed_buckets"])
+    assert prog.where(F.col("n_spans") != 0).count() == 0
+
+    # rerun: nothing pending anymore — the zero-span buckets converged
+    r2 = run_with_checkpoint(spark, span_docs, PIPE, out_path, prog_path,
+                             n_buckets=4)
+    assert r2["processed_buckets"] == []
+    assert set(r2["resumed_buckets"]) == set(r1["processed_buckets"])

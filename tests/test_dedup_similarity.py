@@ -100,3 +100,37 @@ def test_textstats(spark):
     assert fp[1] == fp[2]  # normalization collapses case/extra spaces
     q = {r["doc_id"]: r["quality"] for r in T.quality_score(d).collect()}
     assert all(0 <= v <= 1 for v in q.values())
+
+
+def test_ivf_probe_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=nlist degenerates to exact search: top-k equals
+    brute-force cosine top-k; with nprobe=2 results are a subset ranking
+    of the probed lists (sanity on the scale path)."""
+    from pdftabextract_spark.operators.similarity import ivf_topk, cosine_topk
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    exact = {(r["q_id"], r["rk"]): r["vec_id"]
+             for r in cosine_topk(emb, [0, 1], k=3).collect()}
+    full_probe = {(r["q_id"], r["rk"]): r["vec_id"]
+                  for r in ivf_topk(emb, [0, 1], k=3, nlist=8,
+                                    nprobe=8).collect()}
+    assert full_probe == exact
+
+    partial = ivf_topk(emb, [0, 1], k=3, nlist=8, nprobe=2).collect()
+    assert len(partial) > 0
+    assert all(r["rk"] <= 3 for r in partial)
+
+
+def test_embedding_neardup_pairs_blocking(spark, sf_dir):
+    """Near-dup pairs: every emitted pair is same-bucket, a<b, and above
+    threshold; rounding applied before the threshold filter."""
+    from pdftabextract_spark.operators.similarity import (
+        embedding_neardup_pairs, lsh_bucket)
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    pairs = embedding_neardup_pairs(emb, dim=64, threshold=0.3).collect()
+    assert pairs, "expected some near-dup candidates at threshold 0.3"
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in lsh_bucket(emb, dim=64).collect()}
+    for r in pairs:
+        assert r["a"] < r["b"]
+        assert r["cos"] >= 0.3
+        assert buckets[r["a"]] == buckets[r["b"]]

@@ -82,3 +82,69 @@ def test_image_path_cells_match_ground_truth(spark):
     bad = joined.where(~F.col("cell_text").eqNullSafe(F.col("gt_text")))
     rows = bad.limit(10).collect()
     assert not rows, "image-path cell mismatches: %s" % rows
+
+
+def test_rotation_sign_convention():
+    """Pin the repair-sign convention (ADVICE r1): under the cv2
+    parameterization rho = x*cos(theta)+y*sin(theta), content rotated by
+    +alpha yields found = +alpha through the reference deviation chain,
+    and STRAIGHTENING requires theta -= found (our sign=-1 default).
+    The reference's literal `theta += radians` (imgproc.py:169) leaves a
+    2*alpha residual — a reference quirk, not a mismatch in our Hough."""
+    import math
+    from pdftabextract_spark.kernels.geom import normalize_angle
+
+    alpha = math.radians(2.0)
+    page = {"page_w": 600, "page_h": 800, "theta": alpha,
+            "row_positions": [100.0, 300.0, 500.0, 700.0]}
+    cols = [50.0, 200.0, 350.0, 500.0]
+    img = synth.render_page_image(page, cols)
+    edges = K.edges_simple(K.grayscale(img))
+    lines = K.hough_lines(edges, 1.0, math.pi / 500, int(0.2 * img.shape[1]))
+    cl = K.classify_hough_lines(lines)
+    (rt, rr), filt = K.find_rotation_or_skew(
+        cl, math.radians(0.5), math.radians(1.0),
+        omit_on_rot_thresh=math.radians(0.5))
+    assert rt == "r"
+    # found rotation = +alpha (same sign as injected), within one theta bin
+    theta_bin = math.degrees(math.pi / 500)
+    assert abs(math.degrees(rr) - 2.0) <= theta_bin + 1e-9
+
+    def max_residual_deg(sign):
+        devs = []
+        for rho, th, tn, d in filt:
+            tn2 = normalize_angle(th + sign * rr)
+            devs.append(abs(K.line_deviations([tn2], [d])[0]))
+        return math.degrees(max(devs))
+
+    # corrective convention straightens to quantization noise...
+    assert max_residual_deg(-1.0) <= theta_bin + 1e-9
+    # ...while the reference-literal += doubles the tilt (~2*alpha)
+    assert max_residual_deg(+1.0) >= 2 * 2.0 - 2 * theta_bin
+
+
+def test_rotation_row_survives_empty_line_filter(spark):
+    """A page whose lines are ALL dropped by the stray-line filter keeps
+    its rotations row (the decision is filter-independent in the
+    reference, imgproc.py:264-275), so box repair still applies
+    (ADVICE r1). Two horizontal lines with deviations 0.3/0.5 rad:
+    median 0.4 -> SKEW_Y, but both lines sit 0.1 rad from the median,
+    beyond omit thresh 0.05 -> filtered set empty."""
+    import math
+    from pdftabextract_spark.operators.imgstage import find_rotation_per_page
+
+    rows = []
+    for dev in (0.3, 0.5):
+        tn = math.pi / 2 + dev  # dev_append = tn - pi/2
+        rows.append(("d", 1, 100.0, tn, tn, "h"))
+    lines = spark.createDataFrame(
+        rows, "doc_id string, page int, rho double, theta double, "
+              "theta_norm double, direction string")
+    rotations, filtered = find_rotation_per_page(
+        lines, rot_thresh=0.2, rot_same_dir_thresh=1.0,
+        omit_on_rot_thresh=0.05)
+    rot = rotations.collect()
+    assert len(rot) == 1
+    assert rot[0]["rot_type"] == "sy"
+    assert abs(rot[0]["rot_radians"] - 0.4) < 1e-9
+    assert filtered.count() == 0

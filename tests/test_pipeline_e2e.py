@@ -76,12 +76,109 @@ def test_packed_pages_unique_across_batch_splits(spark):
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
         boxes = textboxes_from_spans(synth.span_docs_df(spark, PARAMS))
-        packed = extract_cells_packed(boxes, PIPE)
-        total = packed.count()
-        distinct = packed.select("doc_id", "page").distinct().count()
-        assert total == distinct
-        n_spans = packed.agg(F.sum(F.size("cells"))).collect()[0][0]
         expected = synth.expected_spans_df(spark, PARAMS).count()
-        assert n_spans == expected
+        # both kernel paths: with the exchange, and the span-table
+        # page-contiguous fast path (regression for the skipped exchange)
+        for contiguous in (False, True):
+            packed = extract_cells_packed(boxes, PIPE,
+                                          page_contiguous=contiguous)
+            total = packed.count()
+            distinct = packed.select("doc_id", "page").distinct().count()
+            assert total == distinct, "contiguous=%s" % contiguous
+            n_spans = packed.agg(F.sum(F.size("cells"))).collect()[0][0]
+            assert n_spans == expected, "contiguous=%s" % contiguous
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_pack_joined_raises_on_non_contiguous_input(spark):
+    """The packing kernel must fail loudly (not emit silent duplicates)
+    when its page-contiguity precondition is violated. The public join
+    path happens to restore contiguity under SMJ (sorted by join key), so
+    drive the kernel directly with interleaved joined-shape rows."""
+    from pdftabextract_spark.operators.grid import pack_joined
+
+    def row(doc, page, box_id, left):
+        return (doc, page, box_id, left, 10.0, 5.0, 5.0, "v",
+                [0.0, 50.0, 100.0], [0.0, 30.0, 60.0])
+
+    # page 1 recurs after page 2 closed it — within one partition. (A
+    # trailing page 3 keeps the recurrence out of the carry buffer, which
+    # deliberately re-merges a recurrence of the LAST key in a batch.)
+    rows = [row("d", 1, 0, 5.0), row("d", 2, 0, 5.0), row("d", 1, 1, 55.0),
+            row("d", 3, 0, 5.0)]
+    joined = spark.createDataFrame(
+        rows, "doc_id string, page int, box_id int, left double, top double, "
+              "width double, height double, value string, "
+              "col_positions array<double>, row_positions array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception) as exc:
+        pack_joined(joined).count()
+    assert "page-contiguous" in str(exc.value) or "recurred" in str(exc.value)
+
+    # sanity: the same rows in contiguous order pack cleanly into 3 pages
+    ok_rows = [rows[0], rows[2], rows[1], rows[3]]
+    ok = spark.createDataFrame(
+        ok_rows, "doc_id string, page int, box_id int, left double, top double, "
+                 "width double, height double, value string, "
+                 "col_positions array<double>, row_positions array<double>"
+    ).coalesce(1)
+    assert pack_joined(ok).count() == 3
+
+
+def test_image_page_attribution_with_sparse_images(spark):
+    """Images must take the page of their ADJACENT text spans, not their
+    rank among image spans (ADVICE r1): a doc where only pages 2 and 5
+    carry images must map them to pages 2 and 5, not 1 and 2."""
+    from pdftabextract_spark.sources.spans import pages_from_spans
+
+    def tsp(page, off):
+        return {"kind": "text",
+                "text": '{"v":"x","l":10.0,"t":10.0,"w":5.0,"h":5.0,"p":%d}' % page,
+                "media_ref": None, "offset": off}
+
+    def isp(ref, off):
+        return {"kind": "image", "text": None, "media_ref": ref, "offset": off}
+
+    spans = []
+    off = 0
+    for page in range(1, 6):
+        if page in (2, 5):  # only these pages were scanned
+            spans.append(isp("mem://d/%d.png" % page, off)); off += 1
+        spans.append(tsp(page, off)); off += 1
+        spans.append(tsp(page, off)); off += 1
+    docs = spark.createDataFrame(
+        [("d", spans)],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>")
+
+    got = {r["page"]: r["media_ref"]
+           for r in pages_from_spans(docs).collect()}
+    assert got == {2: "mem://d/2.png", 5: "mem://d/5.png"}
+
+
+def test_image_page_attribution_trailing_and_imageonly(spark):
+    """Fallbacks: a trailing image with no following text gets
+    prev-text-page + 1; an all-image doc falls back to rank order."""
+    from pdftabextract_spark.sources.spans import pages_from_spans
+
+    trailing = [
+        {"kind": "text",
+         "text": '{"v":"x","l":1.0,"t":1.0,"w":2.0,"h":2.0,"p":1}',
+         "media_ref": None, "offset": 0},
+        {"kind": "image", "text": None, "media_ref": "mem://t/2.png",
+         "offset": 1},
+    ]
+    imageonly = [
+        {"kind": "image", "text": None, "media_ref": "mem://i/1.png", "offset": 0},
+        {"kind": "image", "text": None, "media_ref": "mem://i/2.png", "offset": 1},
+    ]
+    docs = spark.createDataFrame(
+        [("t", trailing), ("i", imageonly)],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>")
+    got = {(r["doc_id"], r["page"]): r["media_ref"]
+           for r in pages_from_spans(docs).collect()}
+    assert got == {("t", 2): "mem://t/2.png",
+                   ("i", 1): "mem://i/1.png",
+                   ("i", 2): "mem://i/2.png"}
