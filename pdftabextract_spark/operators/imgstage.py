@@ -32,11 +32,18 @@ _ROT_SCHEMA = ("doc_id string, page int, rot_type string, rot_radians double")
 def detect_lines(pages: DataFrame, media: DataFrame,
                  canny_low=50, canny_high=150,
                  hough_rho_res=1.0, hough_theta_res=math.pi / 500,
-                 hough_votes_rel=0.2) -> DataFrame:
+                 hough_votes_rel=0.2, edge_method="canny") -> DataFrame:
     """pages(doc_id,page,media_ref) x media(media_ref,bytes) -> classified
     Hough lines per page. votes threshold = hough_votes_rel * image width
-    (catalog_30s.py:89-92)."""
+    (catalog_30s.py:89-92).
+
+    ``edge_method``: 'canny' (default — full NMS+hysteresis Canny, the
+    algorithm the reference runs via cv2.Canny; required for real scans,
+    where thick glyph-edge blobs otherwise flood the Hough accumulator)
+    or 'simple' (thresholded gradient — cheaper, adequate only for clean
+    synthetic renders)."""
     joined = pages.select("doc_id", "page", "media_ref").join(media, "media_ref")
+    edge_fn = K.canny_edges if edge_method == "canny" else K.edges_simple
 
     def kernel(batches):
         for pdf in batches:
@@ -44,7 +51,7 @@ def detect_lines(pages: DataFrame, media: DataFrame,
             for r in pdf.itertuples(index=False):
                 img = decode_png(bytes(r.bytes))
                 gray = K.grayscale(img)
-                edges = K.edges_simple(gray, canny_low, canny_high)
+                edges = edge_fn(gray, canny_low, canny_high)
                 votes = int(round(hough_votes_rel * img.shape[1]))
                 lines = K.hough_lines(edges, hough_rho_res, hough_theta_res,
                                       max(votes, 2))
@@ -116,7 +123,11 @@ def apply_rotation_to_lines(lines_with_rot: DataFrame, sign: float = -1.0) -> Da
     use cases because downstream only consumes approximate line midpoints.
     Default sign=-1.0 is the corrective (straightening) convention;
     sign=+1.0 reproduces the reference's literal semantics for parity
-    experiments."""
+    experiments. Note the reference's own flagship example calls the
+    repair with the NEGATED angle (catalog_30s.py:122:
+    ``apply_found_rotation_or_skew(type, -radians)``), i.e. sign=-1 IS
+    reference-example behavior — the literal `+=` path never fires with
+    a positive found angle in practice."""
     affected = (
         F.col("rot_type").isNotNull() & ~F.isnan(F.col("rot_radians")) & (
             (F.col("rot_type") == "r")
@@ -201,7 +212,8 @@ def line_border_centers(lines: DataFrame, pages: DataFrame,
 
 def filter_empty_cluster_sections(centers: DataFrame, boxes: DataFrame,
                                   direction: str, n_texts_ratio: float,
-                                  scaling: float = 1.0) -> DataFrame:
+                                  scaling: float = 1.0,
+                                  scaling_col: str = None) -> DataFrame:
     """Empty-section removal (imgproc.py:330-360): drop line clusters whose
     preceding band contains too few textboxes; the cluster right before
     the first kept one is re-included. Sequential per page (prev-center
@@ -209,7 +221,10 @@ def filter_empty_cluster_sections(centers: DataFrame, boxes: DataFrame,
 
     ``centers``: (doc_id, page, cluster_id, center, n);
     ``direction``: 'v' filters column clusters against box left/right,
-    'h' against top/bottom."""
+    'h' against top/bottom;
+    ``scaling_col``: name of a per-page column in ``centers`` holding the
+    image->textbox-space scaling (catalog_30s.py:136: positions live in
+    scanned-image space, boxes in page space); overrides the scalar."""
     import pandas as pd
     from ..kernels.imgproc import remove_empty_cluster_sections
 
@@ -227,6 +242,8 @@ def filter_empty_cluster_sections(centers: DataFrame, boxes: DataFrame,
         doc_id, page = key
         if len(centers_pdf) == 0:
             return pd.DataFrame(columns=["doc_id", "page", "cluster_id", "center", "n"])
+        page_scaling = (float(centers_pdf.iloc[0][scaling_col])
+                        if scaling_col else scaling)
         # kernel operates on (indices, values); feed each cluster's center
         # as a singleton value set (centers already reduced) — the band
         # semantics depend only on the centers and box borders
@@ -234,7 +251,7 @@ def filter_empty_cluster_sections(centers: DataFrame, boxes: DataFrame,
               for i, c in zip(centers_pdf["cluster_id"], centers_pdf["center"])]
         kept = remove_empty_cluster_sections(
             cw, boxes_pdf["lo"].to_numpy(), boxes_pdf["hi"].to_numpy(),
-            n_texts_ratio, scaling)
+            n_texts_ratio, page_scaling)
         kept_ids = {int(ind[0]) for ind, _ in kept}
         out = centers_pdf[centers_pdf["cluster_id"].isin(kept_ids)].copy()
         out["doc_id"] = doc_id

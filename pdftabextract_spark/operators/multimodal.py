@@ -78,8 +78,10 @@ def image_features(media: DataFrame, decoder=decode_image,
                 img = decoder(bytes(r.bytes))
                 g = grayscale(img)
                 e = edges_simple(g)
-                rows.append((r.media_ref, float(g.mean()),
-                             float(g.std()), float(e.mean())))
+                # stats accumulate in f64 regardless of the luma dtype
+                # (grayscale is f32 for bandwidth; a f32 mean drifts ~1e-6)
+                rows.append((r.media_ref, float(g.mean(dtype=np.float64)),
+                             float(g.std(dtype=np.float64)), float(e.mean())))
                 pixels += g.size
                 if pixels >= max_batch_pixels:
                     yield pd.DataFrame(rows, columns=[

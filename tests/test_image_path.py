@@ -55,7 +55,7 @@ def test_rotation_estimation_kernel():
     colpos = synth.family_layout(params)
     _, pages = synth.gen_doc(0, params, colpos)
     img = synth.render_page_image(pages[0], colpos)
-    edges = K.edges_simple(K.grayscale(img))
+    edges = K.canny_edges(K.grayscale(img))
     lines = K.hough_lines(edges, 1.0, np.pi / 500, int(0.2 * img.shape[1]))
     cl = K.classify_hough_lines(lines)
     (rt, rr), _ = K.find_rotation_or_skew(
@@ -99,7 +99,7 @@ def test_rotation_sign_convention():
             "row_positions": [100.0, 300.0, 500.0, 700.0]}
     cols = [50.0, 200.0, 350.0, 500.0]
     img = synth.render_page_image(page, cols)
-    edges = K.edges_simple(K.grayscale(img))
+    edges = K.canny_edges(K.grayscale(img))
     lines = K.hough_lines(edges, 1.0, math.pi / 500, int(0.2 * img.shape[1]))
     cl = K.classify_hough_lines(lines)
     (rt, rr), filt = K.find_rotation_or_skew(
