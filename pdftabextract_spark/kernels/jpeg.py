@@ -1,0 +1,576 @@
+"""Minimal pure-numpy baseline JPEG codec (stdlib + numpy only).
+
+The runtime has no OpenCV/Pillow/libjpeg, but the reference's schoollist
+examples run Hough-line detection on JPEG page scans
+(/root/reference/examples/schoollist_{1,2}/data/*.jpg — baseline SOF0,
+restart intervals, grayscale and YCbCr 4:2:0). This module decodes those:
+
+- baseline sequential DCT (SOF0), 8-bit precision
+- 1 component (grayscale) or 3 components (JFIF YCbCr), sampling
+  factors 1x1 / 2x1 / 1x2 / 2x2 (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0)
+- restart intervals (DRI / RSTn)
+- huffman decode via a 16-bit peek lookup table (one table probe per
+  symbol), coefficients collected sparsely and IDCT'd vectorized
+  (matrix-product 8x8 IDCT over all blocks at once)
+
+Not supported (raise NotImplementedError): progressive (SOF2),
+arithmetic coding, 12-bit precision, 4-component CMYK.
+
+Parity note: libjpeg (what cv2.imread wraps) uses a fixed-point IDCT and
+"fancy" chroma upsampling; this decoder uses the exact float IDCT and
+pixel-replication upsampling, so outputs may differ by ~±1 LSB. The
+consumers here (Canny+Hough with relative vote thresholds) are tolerant
+to that by construction, and for the gray path the chroma choice is
+irrelevant: BT.601 luma of the reconstructed RGB is algebraically the Y
+channel again.
+
+The encoder (encode_jpeg) is a test oracle for the decoder (roundtrip
+within quantization error) and a sink codec: baseline, standard Annex-K
+tables scaled by quality, grayscale or YCbCr 4:4:4.
+"""
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# ITU-T T.81 Annex K quantization tables
+QTAB_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64).reshape(8, 8)
+QTAB_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64).reshape(8, 8)
+
+# Annex K huffman specs: (bits per code length 1..16, values)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# exact 8x8 DCT-II basis; IDCT(block) = B.T @ coef @ B with B[k, x] =
+# c(k) cos((2x+1) k pi / 16) / 2
+_k = np.arange(8).reshape(8, 1)
+_x = np.arange(8).reshape(1, 8)
+_DCT_B = np.cos((2 * _x + 1) * _k * np.pi / 16) / 2.0
+_DCT_B[0, :] /= np.sqrt(2.0)
+
+
+# ----------------------------------------------------- huffman machinery
+
+def _build_decode_lut(bits, values):
+    """(bits[16], values) -> (lut, maxlen). lut is a 2^16 int32 array:
+    lut[peek16] = (symbol << 5) | code_length; 0 = invalid."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[vi]; vi += 1
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            lut[lo:hi] = (sym << 5) | length
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _build_encode_table(bits, values):
+    """symbol -> (code, length) dict for the encoder."""
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v, s):
+    """JPEG EXTEND: s-bit magnitude v -> signed coefficient."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes. Reads past the
+    end return 1-padding (spec behavior for the final truncated MCU)."""
+
+    __slots__ = ("data", "n", "pos", "buf", "cnt")
+
+    def __init__(self, data):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def peek16(self):
+        while self.cnt < 16:
+            b = self.data[self.pos] if self.pos < self.n else 0xFF
+            self.pos += 1
+            self.buf = ((self.buf << 8) | b) & 0xFFFFFF
+            self.cnt += 8
+        return (self.buf >> (self.cnt - 16)) & 0xFFFF
+
+    def skip(self, k):
+        self.cnt -= k
+
+    def read(self, k):
+        while self.cnt < k:
+            b = self.data[self.pos] if self.pos < self.n else 0xFF
+            self.pos += 1
+            self.buf = ((self.buf << 8) | b) & 0xFFFFFF
+            self.cnt += 8
+        self.cnt -= k
+        return (self.buf >> self.cnt) & ((1 << k) - 1)
+
+
+# ---------------------------------------------------------------- decode
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc_tab", "ac_tab")
+
+
+def _parse_segments(data):
+    """Walk markers up to SOS. Returns (qtabs, huff_dc, huff_ac, frame,
+    scan_comps, restart_interval, scan_start)."""
+    qtabs = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart = 0
+    i = 0
+    if data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("marker desync at offset %d" % i)
+        marker = data[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tab = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                qtabs[tq] = tab  # zigzag order
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                values = list(seg[p + 17:p + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_lut(bits, values)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = seg[6 + 3 * c]
+                comp.h = seg[7 + 3 * c] >> 4
+                comp.v = seg[7 + 3 * c] & 0x0F
+                comp.tq = seg[8 + 3 * c]
+                comps.append(comp)
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/1) is supported; "
+                "got SOF marker 0x%02X" % marker)
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tabs >> 4, tabs & 0x0F))
+            return qtabs, huff_dc, huff_ac, frame, scan, restart, i + 2 + ln
+        i += 2 + ln
+    raise ValueError("no SOS marker")
+
+
+def _split_intervals(data, start):
+    """Entropy-coded bytes -> list of de-stuffed per-restart-interval
+    buffers. RST markers cannot occur inside entropy data (0xFF there is
+    always stuffed as FF 00), so a flat scan is safe."""
+    import re
+    end = len(data)
+    m = re.search(b"\xff\xd9", data[start:])
+    if m:
+        end = start + m.start()
+    body = data[start:end]
+    parts = re.split(b"\xff[\xd0-\xd7]", body)
+    return [p.replace(b"\xff\x00", b"\xff") for p in parts]
+
+
+def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 array. Grayscale JPEG -> (H, W);
+    color -> (H, W, 3) RGB, or (H, W) luma if ``luma_only`` (skips the
+    chroma IDCT/upsample entirely — the gray consumers here only need Y,
+    and BT.601 luma of the decoded RGB equals Y up to rounding/clipping).
+    """
+    data = bytes(data)
+    qtabs, huff_dc, huff_ac, frame, scan, restart, sstart = _parse_segments(data)
+    if frame is None:
+        raise ValueError("no SOF before SOS")
+    H, W, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component JPEG")
+    for cs, td, ta in scan:
+        for comp in comps:
+            if comp.cid == cs:
+                comp.dc_tab = huff_dc[td]
+                comp.ac_tab = huff_ac[ta]
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    blocks_per_mcu = [c.h * c.v for c in comps]
+
+    decode_comps = comps if not luma_only or len(comps) == 1 else comps[:1]
+    skip_idx = set(range(len(decode_comps), len(comps)))
+
+    # sparse coefficient triples per component, blocks in MCU order
+    n_comp = len(comps)
+    bis = [[] for _ in range(n_comp)]
+    ks = [[] for _ in range(n_comp)]
+    vals = [[] for _ in range(n_comp)]
+    blk_counter = [0] * n_comp
+
+    intervals = _split_intervals(data, sstart)
+    per_interval = restart if restart else n_mcus
+    mcu_done = 0
+    for interval in intervals:
+        if mcu_done >= n_mcus:
+            break
+        rd = _BitReader(interval)
+        preds = [0] * n_comp
+        n_here = min(per_interval, n_mcus - mcu_done)
+        for _ in range(n_here):
+            for ci, comp in enumerate(comps):
+                dc_tab = comp.dc_tab
+                ac_tab = comp.ac_tab
+                b_app = bis[ci].append
+                k_app = ks[ci].append
+                v_app = vals[ci].append
+                skip = ci in skip_idx
+                for _b in range(blocks_per_mcu[ci]):
+                    bi = blk_counter[ci]
+                    blk_counter[ci] = bi + 1
+                    # DC
+                    e = dc_tab[rd.peek16()]
+                    if e == 0:
+                        raise ValueError("invalid huffman code (DC)")
+                    rd.skip(e & 31)
+                    s = e >> 5
+                    if s:
+                        diff = _extend(rd.read(s), s)
+                    else:
+                        diff = 0
+                    preds[ci] += diff
+                    if not skip:
+                        b_app(bi); k_app(0); v_app(preds[ci])
+                    # AC
+                    k = 1
+                    while k < 64:
+                        e = ac_tab[rd.peek16()]
+                        if e == 0:
+                            raise ValueError("invalid huffman code (AC)")
+                        rd.skip(e & 31)
+                        sym = e >> 5
+                        if sym == 0:        # EOB
+                            break
+                        if sym == 0xF0:     # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        s = sym & 15
+                        v = _extend(rd.read(s), s)
+                        if k < 64 and not skip:
+                            b_app(bi); k_app(k); v_app(v)
+                        k += 1
+        mcu_done += n_here
+
+    # per component: dense coeffs -> dequant -> IDCT -> plane
+    planes = []
+    inv_zz = ZIGZAG  # coef index k (zigzag) -> natural index
+    for ci, comp in enumerate(comps):
+        if ci in skip_idx:
+            planes.append(None)
+            continue
+        nb = blk_counter[ci]
+        coef = np.zeros((nb, 64), dtype=np.float64)
+        if bis[ci]:
+            flat = np.asarray(bis[ci], dtype=np.int64) * 64 + \
+                inv_zz[np.asarray(ks[ci], dtype=np.int64)]
+            q = qtabs[comp.tq]  # zigzag order
+            qnat = np.empty(64, dtype=np.int64)
+            qnat[inv_zz] = q
+            coef.ravel()[flat] = np.asarray(vals[ci], dtype=np.float64)
+            coef *= qnat[None, :]
+        blocks = coef.reshape(nb, 8, 8)
+        pix = np.einsum("kx,nky,yu->nxu", _DCT_B, blocks, _DCT_B,
+                        optimize=True) + 128.0
+        # MCU-order blocks -> raster plane
+        cw_b, ch_b = mcus_x * comp.h, mcus_y * comp.v
+        plane = np.empty((ch_b * 8, cw_b * 8), dtype=np.float64)
+        idx = np.arange(nb)
+        mcu = idx // (comp.h * comp.v)
+        within = idx % (comp.h * comp.v)
+        bx = (mcu % mcus_x) * comp.h + (within % comp.h)
+        by = (mcu // mcus_x) * comp.v + (within // comp.h)
+        p4 = plane.reshape(ch_b, 8, cw_b, 8)
+        p4[by, :, bx, :] = pix
+        planes.append(plane)
+
+    if len(comps) == 1 or luma_only:
+        comp = comps[0]
+        y = planes[0]
+        # luma plane covers H*v/vmax x W*h/hmax at component resolution;
+        # for luma_only with subsampled chroma the Y plane is full-res
+        sy, sx = vmax // comps[0].v, hmax // comps[0].h
+        if sy > 1 or sx > 1:
+            y = np.repeat(np.repeat(y, sy, axis=0), sx, axis=1)
+        return np.clip(np.round(y[:H, :W]), 0, 255).astype(np.uint8)
+
+    up = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        sy, sx = vmax // comp.v, hmax // comp.h
+        if sy > 1 or sx > 1:
+            p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        up.append(p[:H, :W])
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, code, length):
+        self.buf = (self.buf << length) | code
+        self.cnt += length
+        while self.cnt >= 8:
+            self.cnt -= 8
+            b = (self.buf >> self.cnt) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.cnt:
+            pad = 8 - self.cnt
+            self.write((1 << pad) - 1, pad)
+
+
+def _scale_qtab(tab, quality):
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (tab * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _encode_blocks(bw, blocks_zz, dc_table, ac_table, pred):
+    """blocks_zz: (n, 64) int zigzag-quantized coeffs; returns new pred."""
+    for row in blocks_zz:
+        diff = int(row[0]) - pred
+        pred = int(row[0])
+        if diff == 0:
+            c, ln = dc_table[0]
+            bw.write(c, ln)
+        else:
+            s = int(abs(diff)).bit_length()
+            c, ln = dc_table[s]
+            bw.write(c, ln)
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bw.write(v & ((1 << s) - 1), s)
+        nz = np.nonzero(row[1:])[0]
+        run = 0
+        prev = 0
+        for i in nz:
+            gap = int(i) - prev
+            run += gap
+            prev = int(i) + 1
+            while run >= 16:
+                c, ln = ac_table[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            v = int(row[1 + i])
+            s = abs(v).bit_length()
+            c, ln = ac_table[(run << 4) | s]
+            bw.write(c, ln)
+            vv = v if v > 0 else v + (1 << s) - 1
+            bw.write(vv & ((1 << s) - 1), s)
+            run = 0
+        if prev < 63:
+            c, ln = ac_table[0]  # EOB
+            bw.write(c, ln)
+    return pred
+
+
+def _fdct_quant(plane, qtab_nat):
+    """(H, W) float, H/W multiples of 8 -> (n_blocks, 64) zigzag ints."""
+    H, W = plane.shape
+    blocks = (plane.reshape(H // 8, 8, W // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+    # with the orthonormal basis B (c(k)cos(.)/2 rows), the T.81 forward
+    # DCT is exactly B @ b @ B.T — no extra scale
+    coef = np.einsum("kx,nxy,uy->nku", _DCT_B, blocks, _DCT_B,
+                     optimize=True)
+    q = np.round(coef / qtab_nat[None, :, :]).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> baseline JPEG bytes
+    (4:4:4 for color, Annex-K tables scaled by quality, no restarts)."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    gray = a.ndim == 2
+    H, W = a.shape[:2]
+    ph, pw = -(-H // 8) * 8, -(-W // 8) * 8
+
+    qy = _scale_qtab(QTAB_LUMA.ravel()[ZIGZAG], quality)      # zigzag
+    qc = _scale_qtab(QTAB_CHROMA.ravel()[ZIGZAG], quality)
+    qy_nat = np.empty(64, dtype=np.int64); qy_nat[ZIGZAG] = qy
+    qc_nat = np.empty(64, dtype=np.int64); qc_nat[ZIGZAG] = qc
+
+    def pad(p):
+        return np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge")
+
+    if gray:
+        y = pad(a.astype(np.float64))
+        planes = [(y, qy_nat.reshape(8, 8), 0)]
+    else:
+        f = a.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+        planes = [(pad(y), qy_nat.reshape(8, 8), 0),
+                  (pad(cb), qc_nat.reshape(8, 8), 1),
+                  (pad(cr), qc_nat.reshape(8, 8), 1)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qy.astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.astype(np.uint8))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, H, W, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, spec):
+        bits, values = spec
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_y = _build_encode_table(*HUFF_DC_LUMA)
+    ac_y = _build_encode_table(*HUFF_AC_LUMA)
+    dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+
+    # 4:4:4 -> MCU = one block per component, interleaved
+    zz = [_fdct_quant(p, q) for p, q, _ in planes]
+    bw = _BitWriter()
+    preds = [0] * nc
+    for b in range(zz[0].shape[0]):
+        for ci in range(nc):
+            dc_t, ac_t = (dc_y, ac_y) if planes[ci][2] == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_blocks(bw, zz[ci][b:b + 1], dc_t, ac_t, preds[ci])
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)

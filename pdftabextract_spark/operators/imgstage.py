@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels import imgproc as K
-from ..kernels.png import decode_png
+from ..kernels.raster import decode_raster
 
 _LINES_SCHEMA = ("doc_id string, page int, rho double, theta double, "
                  "theta_norm double, direction string")
@@ -49,10 +49,9 @@ def detect_lines(pages: DataFrame, media: DataFrame,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_png(bytes(r.bytes))
-                gray = K.grayscale(img)
+                gray = decode_raster(bytes(r.bytes), luma_only=True)
                 edges = edge_fn(gray, canny_low, canny_high)
-                votes = int(round(hough_votes_rel * img.shape[1]))
+                votes = int(round(hough_votes_rel * gray.shape[1]))
                 lines = K.hough_lines(edges, hough_rho_res, hough_theta_res,
                                       max(votes, 2))
                 for rho, theta, theta_norm, direction in K.classify_hough_lines(lines):

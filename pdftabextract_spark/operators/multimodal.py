@@ -20,13 +20,10 @@ _FEAT_SCHEMA = ("media_ref string, mean double, std double, edge_ratio double")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Decode an image blob. PNG is native; other formats are stubbed
-    until codec libraries exist in the runtime."""
-    if buf[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(buf)
-    raise NotImplementedError(
-        "non-PNG image decoding requires an image codec library not "
-        "present in this runtime; register one in operators.multimodal")
+    """Decode an image blob. PNG and baseline JPEG are native pure-numpy
+    codecs (kernels.png / kernels.jpeg); other formats raise."""
+    from ..kernels.raster import decode_raster
+    return decode_raster(buf)
 
 
 def fake_decode(buf: bytes, width=32, height=32) -> np.ndarray:

@@ -84,7 +84,8 @@ def split_media(media: DataFrame, pages: DataFrame, separators: DataFrame,
     """split_image (imgproc.py:104-151) as a batch kernel: decode each
     double-page blob, slice at round(split_pos), re-encode two blobs with
     derived media_refs ('<ref>#A', '<ref>#B')."""
-    from ..kernels.png import decode_png, encode_png
+    from ..kernels.png import encode_png
+    from ..kernels.raster import decode_raster
 
     j = (pages.select(*PAGE_KEY, "media_ref").join(separators, list(PAGE_KEY))
          .join(media, "media_ref"))
@@ -93,7 +94,7 @@ def split_media(media: DataFrame, pages: DataFrame, separators: DataFrame,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                img = decode_png(bytes(r.bytes))
+                img = decode_raster(bytes(r.bytes))
                 pos = int(round(r.split_pos))
                 if direction == "v":
                     a, bimg = img[:, :pos].copy(), img[:, pos:].copy()
