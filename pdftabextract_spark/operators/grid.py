@@ -321,3 +321,50 @@ def cell_texts(assigned: DataFrame, positions: DataFrame) -> DataFrame:
         grid.join(texts, ["doc_id", "page", "row_idx", "col_idx"], "left")
         .withColumn("cell_text", F.coalesce("cell_text", F.lit("")))
     )
+
+
+def cell_texts_lines(assigned: DataFrame, positions: DataFrame,
+                     boxes: DataFrame = None) -> DataFrame:
+    """Cell text with split_texts_in_lines=True semantics
+    (extract.py:139-140 -> textboxes.put_texts_in_lines +
+    create_text_from_lines): boxes in a cell are grouped into visual
+    lines (vertical-overlap heuristic), lines joined left-to-right with
+    ' ', then concatenated with '\\n'. The line-grouping is sequential
+    per cell, so cells are reduced to box arrays SQL-side and one
+    Arrow-batched mapInPandas kernel materializes the strings — cells
+    hold a handful of boxes each, so the Python work per row is tiny."""
+    import pandas as pd
+    from ..kernels.textflow import cell_text
+
+    a = assigned.where(F.col("row_idx") >= 0)
+    if "top" not in a.columns or "height" not in a.columns:
+        # the assignment kernel only carries (left, value) — recover the
+        # vertical geometry the line grouping needs from the boxes
+        a = a.join(boxes.select("doc_id", "page", "box_id", "top", "height"),
+                   ["doc_id", "page", "box_id"])
+    packed = (
+        a
+        .groupBy("doc_id", "page", "row_idx", "col_idx")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            "box_id", "left", "top", "height", "value"))).alias("cellboxes")))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                b = pd.DataFrame(
+                    [(x["left"], x["top"], x["height"], x["value"])
+                     for x in r.cellboxes],
+                    columns=["left", "top", "height", "value"])
+                out.append((r.doc_id, r.page, r.row_idx, r.col_idx,
+                            cell_text(b, split_in_lines=True)))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "page", "row_idx", "col_idx", "cell_text"])
+
+    texts = packed.mapInPandas(
+        kernel, schema="doc_id string, page int, row_idx long, "
+                       "col_idx long, cell_text string")
+    grid = cells_from_positions(positions).select(
+        "doc_id", "page", "row_idx", "col_idx")
+    return (grid.join(texts, ["doc_id", "page", "row_idx", "col_idx"], "left")
+            .withColumn("cell_text", F.coalesce("cell_text", F.lit(""))))

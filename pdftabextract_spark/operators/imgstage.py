@@ -32,7 +32,8 @@ _ROT_SCHEMA = ("doc_id string, page int, rot_type string, rot_radians double")
 def detect_lines(pages: DataFrame, media: DataFrame,
                  canny_low=50, canny_high=150,
                  hough_rho_res=1.0, hough_theta_res=math.pi / 500,
-                 hough_votes_rel=0.2, edge_method="canny") -> DataFrame:
+                 hough_votes_rel=0.2, edge_method="canny",
+                 hough_votes_abs=None) -> DataFrame:
     """pages(doc_id,page,media_ref) x media(media_ref,bytes) -> classified
     Hough lines per page. votes threshold = hough_votes_rel * image width
     (catalog_30s.py:89-92).
@@ -51,7 +52,8 @@ def detect_lines(pages: DataFrame, media: DataFrame,
             for r in pdf.itertuples(index=False):
                 gray = decode_raster(bytes(r.bytes), luma_only=True)
                 edges = edge_fn(gray, canny_low, canny_high)
-                votes = int(round(hough_votes_rel * gray.shape[1]))
+                votes = (int(hough_votes_abs) if hough_votes_abs is not None
+                         else int(round(hough_votes_rel * gray.shape[1])))
                 lines = K.hough_lines(edges, hough_rho_res, hough_theta_res,
                                       max(votes, 2))
                 for rho, theta, theta_norm, direction in K.classify_hough_lines(lines):
@@ -150,12 +152,20 @@ def apply_rotation_to_lines(lines_with_rot: DataFrame, sign: float = -1.0) -> Da
                         F.when(affected, norm).otherwise(F.col("theta_norm"))))
 
 
-def rotate_boxes_back(boxes: DataFrame, rotations: DataFrame) -> DataFrame:
+def rotate_boxes_back(boxes: DataFrame, rotations: DataFrame,
+                      force_rotation: bool = False) -> DataFrame:
     """rotate_textboxes / deskew_textboxes repair (catalog_30s.py:110-115:
     rotate by the NEGATED found angle about (0,0)) as pure projections —
-    no Python, exact trig expressions."""
+    no Python, exact trig expressions.
+
+    ``force_rotation``: treat every non-null decision as a rotation
+    (schoollist_1.py:161-165 "assume that it's always rotated" — it calls
+    rotate_textboxes regardless of whether the decision was skew)."""
     b = boxes.join(rotations, ["doc_id", "page"], "left")
     has = F.col("rot_type").isNotNull() & ~F.isnan(F.col("rot_radians"))
+    if force_rotation:
+        b = b.withColumn("rot_type",
+                         F.when(has, F.lit("r")).otherwise(F.col("rot_type")))
     ang = -F.col("rot_radians")
     cos_t, sin_t = F.cos(ang), F.sin(ang)
 
