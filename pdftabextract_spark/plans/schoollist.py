@@ -280,3 +280,226 @@ def schoollist1_extract(spark: SparkSession, data_dir: str):
     assigned = assign_cells_joined(boxes_fixed, positions)
     cells = cell_texts_lines(assigned, positions, boxes_fixed)
     return cells, positions, boxes_fixed
+
+
+# --------------------------------------------------------- schoollist_2
+
+N_COLS_SL2 = 4                # schoollist_2.py:44
+HEADER_ROW_HEIGHT = 90.0      # schoollist_2.py:45
+MIN_ROW_GAP = 80.0            # schoollist_2.py:46
+MIN_COL_WIDTH_SL2 = 410.0     # schoollist_2.py:47 (unused downstream)
+SMALLTEXTS_WIDTH = 15.0       # schoollist_2.py:48
+CORRECT_COLS_MIN_DIFFSUM = 10.0  # schoollist_2.py:50
+
+
+def split_double_pages_midline(boxes: DataFrame, pages: DataFrame,
+                               media: DataFrame):
+    """schoollist_2 stage 2 (schoollist_2.py:93-103): the separator is
+    DEFINED as the image midline (img_w / 2, float) — no line detection.
+    Returns (boxes_split, pages_split, media_split)."""
+    sep_img = pages.select(
+        "doc_id", "page", (F.col("img_w") / 2.0).alias("split_pos"))
+    scale = pages.select(
+        "doc_id", "page", (F.col("img_w") / F.col("width")).alias("sx"))
+    sep_page = (sep_img.join(scale, ["doc_id", "page"])
+                .select("doc_id", "page",
+                        (F.col("split_pos") / F.col("sx")).alias("split_pos")))
+
+    boxes_split, page_map = split_boxes(boxes, sep_page, pages, "v")
+    media_split = split_media(media, pages, sep_img, "v")
+
+    dims = probe_media(media_split).select(
+        "media_ref", F.col("width").alias("img_w"),
+        F.col("height").alias("img_h"))
+    ref = (pages.select("doc_id", "page", "media_ref")
+           .join(page_map.select("doc_id", "page", "half", "new_page",
+                                 "new_width", "new_height"),
+                 ["doc_id", "page"])
+           .select("doc_id",
+                   F.col("new_page").alias("page"),
+                   F.col("new_width").alias("width"),
+                   F.col("new_height").alias("height"),
+                   F.concat("media_ref",
+                            F.when(F.col("half") == 0, F.lit("#A"))
+                             .otherwise(F.lit("#B"))).alias("media_ref")))
+    pages_split = ref.join(dims, "media_ref").select(
+        "doc_id", "page", "width", "height", "media_ref", "img_w", "img_h")
+    return boxes_split, pages_split, media_split
+
+
+def schoollist2_row_line_centers(boxes: DataFrame, pages: DataFrame,
+                                 media: DataFrame,
+                                 header_row_height: float = HEADER_ROW_HEIGHT):
+    """schoollist_2 stage 3 (schoollist_2.py:117-186): per split page
+    Hough (votes 0.2*img_w) -> rotation decision restricted to
+    HORIZONTAL lines -> always-rotate box repair -> horizontal cluster
+    centers at dist HEADER_ROW_HEIGHT/2, NO empty-section removal (the
+    clusters only locate the table header)."""
+    lines = detect_lines(pages, media).persist()
+    lines.count()
+    rotations, filtered = find_rotation_per_page(
+        lines, math.radians(0.5), math.radians(1.0),
+        omit_on_rot_thresh=math.radians(0.5), only_direction="h")
+    rotations = rotations.persist()
+    boxes_fixed = rotate_boxes_back(boxes, rotations, force_rotation=True)
+    lines_fixed = apply_rotation_to_lines(
+        filtered.join(rotations, ["doc_id", "page"], "left"))
+    centers = line_border_centers(lines_fixed, pages, "h",
+                                  header_row_height / 2)
+    return centers, boxes_fixed
+
+
+def schoollist2_raw_positions(boxes_fixed: DataFrame, pages: DataFrame,
+                              centers: DataFrame,
+                              n_cols: int = N_COLS_SL2,
+                              min_row_gap: float = MIN_ROW_GAP,
+                              smalltexts_width: float = SMALLTEXTS_WIDTH) -> DataFrame:
+    """schoollist_2 stage 4 per-page part (schoollist_2.py:197-259):
+    header from top-quarter line clusters (>= 2 or no table), rows from
+    text top/bottom border clusters (gap-midpoint borders, the LAST
+    cluster's top is the bottom border), columns from the n_cols LARGEST
+    left-border clusters of non-small texts + the rightmost text's right.
+    Emits the page's UNCORRECTED col_positions (the corpus median
+    correction is a separate distributed stage)."""
+
+    meta = (centers.groupBy("doc_id", "page")
+            .agg(F.array_sort(F.collect_list("center")).alias("line_centers"))
+            .join(pages.select("doc_id", "page", "width", "height",
+                               (F.col("img_h") / F.col("height")).alias("sy")),
+                  ["doc_id", "page"]))
+
+    def kern(key, boxes_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id, page = key
+        cols_out = ["doc_id", "page", "col_positions", "row_positions"]
+        if len(meta_pdf) == 0 or len(boxes_pdf) == 0:
+            return pd.DataFrame(columns=cols_out)
+        m = meta_pdf.iloc[0]
+        page_h = float(m["height"])
+        page_w = float(m["width"])
+        sy = float(m["sy"])
+
+        boxes_pdf = boxes_pdf.sort_values("box_id", kind="stable")
+        left = boxes_pdf["left"].to_numpy(dtype=float)
+        top = boxes_pdf["top"].to_numpy(dtype=float)
+        width = boxes_pdf["width"].to_numpy(dtype=float)
+        height = boxes_pdf["height"].to_numpy(dtype=float)
+        bottom = top + height
+        right = left + width
+
+        hori_lines = [c / sy for c in m["line_centers"]]
+        header = [y for y in hori_lines if y < page_h * 0.25]
+        if len(header) < 2:
+            return pd.DataFrame(columns=cols_out)
+        table_top_y = sorted(header)[-1]
+
+        in_table = top >= table_top_y
+        # rows: cluster BOTH borders (top+bottom) of table texts
+        # (border_positions_from_texts(DIRECTION_VERTICAL) returns the
+        # sorted union, textboxes.py:27-52)
+        texts_ys = np.sort(np.concatenate([top[in_table], bottom[in_table]]))
+        clusters = find_clusters_1d_break_dist(
+            texts_ys, min_row_gap / 2 / sy)
+        cw = zip_clusters_and_values(clusters, texts_ys)
+        row_positions = []
+        prev_bottom = None
+        for _, ys in cw:
+            row_top = float(np.min(ys))
+            if not row_positions:
+                row_positions.append(row_top)
+            else:
+                row_positions.append(row_top - (row_top - prev_bottom) / 2)
+            prev_bottom = float(np.max(ys))
+        if not row_positions:
+            return pd.DataFrame(columns=cols_out)
+
+        # columns: n_cols LARGEST left-border clusters of big texts
+        in_rows = in_table & (bottom <= row_positions[-1])
+        big = in_rows & (width >= smalltexts_width)
+        texts_xs = np.sort(left[big])
+        ccl = zip_clusters_and_values(
+            find_clusters_1d_break_dist(texts_xs, smalltexts_width),
+            texts_xs)
+        # stable sort by size desc keeps ascending-x order among ties
+        by_size = sorted(ccl, key=lambda c: len(c[0]), reverse=True)
+        col_positions = sorted(float(np.min(xs)) for _, xs in by_size[:n_cols])
+        if not col_positions:
+            return pd.DataFrame(columns=cols_out)
+        last_sel = in_rows & (left >= col_positions[-1]) & (left < page_w)
+        if last_sel.any():
+            col_positions.append(float(np.max(right[last_sel])))
+
+        return pd.DataFrame(
+            [(doc_id, int(page),
+              [float(x) for x in col_positions],
+              [float(y) for y in row_positions])], columns=cols_out)
+
+    return (boxes_fixed.groupBy("doc_id", "page")
+            .cogroup(meta.groupBy("doc_id", "page"))
+            .applyInPandas(kern, schema="doc_id string, page int, "
+                                        "col_positions array<double>, "
+                                        "row_positions array<double>"))
+
+
+def correct_columns_by_doc_median(raw: DataFrame, n_cols: int = N_COLS_SL2,
+                                  min_diffsum: float = CORRECT_COLS_MIN_DIFFSUM
+                                  ) -> DataFrame:
+    """schoollist_2 stage 5 (schoollist_2.py:265-297): normalize each
+    VALID page's column borders to its first border, take per-index
+    medians across the doc's pages, and replace a page's borders with
+    (medians + first border) when the page is invalid (wrong border
+    count) or deviates by more than ``min_diffsum``.
+
+    Distributed shape: the reference pools over the whole (single-doc)
+    corpus; at 10^12 scale the natural model unit is the document, so
+    the median is a per-(doc_id, border-index) exact percentile — a
+    posexplode + groupBy, no driver loop, no collect."""
+    k = n_cols + 1
+    valid = raw.where(F.size("col_positions") == k)
+    norm = valid.select(
+        "doc_id", "page",
+        F.transform("col_positions",
+                    lambda x: x - F.col("col_positions")[0]).alias("norm"))
+    med = (norm.select("doc_id", F.posexplode("norm").alias("i", "x"))
+           .groupBy("doc_id", "i")
+           .agg(F.percentile("x", F.lit(0.5)).alias("m"))
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_im"))
+           .select("doc_id",
+                   F.transform("_im", lambda s: s["m"]).alias("medians")))
+    j = raw.join(med, "doc_id", "left")
+    is_valid = F.size("col_positions") == k
+    diffsum = F.aggregate(
+        F.zip_with("col_positions", "medians",
+                   lambda c, m: F.abs(c - F.col("col_positions")[0] - m)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    corrected = F.transform(
+        "medians", lambda m: m + F.col("col_positions")[0])
+    use_corrected = F.col("medians").isNotNull() & (
+        ~is_valid | (diffsum > F.lit(min_diffsum)))
+    return j.select(
+        "doc_id", "page",
+        F.when(use_corrected, corrected)
+         .otherwise(F.col("col_positions")).alias("col_positions"),
+        "row_positions")
+
+
+def schoollist2_extract(spark: SparkSession, data_dir: str):
+    """Full schoollist_2 pipeline: directory of pdf2xml XML + double-page
+    color JPEG scans -> (cells long-form DF (lines-mode text), positions
+    DF, boxes_split DF). Semantics match the reference example's
+    committed outputs (generated_output/)."""
+    boxes, pages, media = load_schoollist(spark, data_dir)
+    pages = pages.persist()
+    boxes_split, pages_split, media_split = split_double_pages_midline(
+        boxes, pages, media)
+    pages_split = pages_split.persist()
+    boxes_split = boxes_split.persist()
+    media_split = media_split.persist()
+    centers, boxes_fixed = schoollist2_row_line_centers(
+        boxes_split, pages_split, media_split)
+    boxes_fixed = boxes_fixed.persist()
+    raw = schoollist2_raw_positions(boxes_fixed, pages_split, centers)
+    positions = correct_columns_by_doc_median(raw).persist()
+    assigned = assign_cells_joined(boxes_fixed, positions)
+    cells = cell_texts_lines(assigned, positions, boxes_fixed)
+    return cells, positions, boxes_fixed
