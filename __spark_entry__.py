@@ -323,6 +323,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_neardup_pairs(_load(spark, sf, "embeddings"),
                                        dim=_ANN_DIM, threshold=0.3)
 
+    def q29_neardup_components(spark, sf):
+        # dedup canonicalization: connected components over the near-dup
+        # pair graph via iterative min-label propagation (diameter-bounded
+        # distributed rounds); oracle = recursive-CTE transitive closure
+        from pdftabextract_spark.operators.similarity import embedding_neardup_pairs
+        from pdftabextract_spark.operators.dedup import neardup_components
+        pairs = embedding_neardup_pairs(_load(spark, sf, "embeddings"),
+                                        dim=_ANN_DIM, threshold=0.3)
+        return (neardup_components(pairs)
+                .select(F.col("id").cast("long").alias("vec_id"),
+                        F.col("component").cast("long").alias("component")))
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q40_extract_cells_synth(spark, sf):
@@ -689,6 +701,29 @@ def oracle_sql() -> dict[str, str]:
               FROM b x JOIN b y
                 ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
             WHERE cos >= 0.3
+        """,
+        "q29_neardup_components": f"""
+            WITH RECURSIVE b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     CAST({ann_bucket} AS BIGINT) AS bucket
+              FROM embeddings),
+            pairs AS (
+              SELECT a, b FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+                FROM b x JOIN b y
+                  ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+              WHERE cos >= 0.3),
+            nodes AS (SELECT a AS v FROM pairs UNION SELECT b FROM pairs),
+            edges AS (SELECT a AS s, b AS d FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(v, r) AS (
+              SELECT v, v FROM nodes
+              UNION
+              SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v)
+            SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.

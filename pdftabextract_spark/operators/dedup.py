@@ -124,3 +124,48 @@ def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
             .withColumn("jaccard", F.round(jac, 6))
             .where(F.col("jaccard") >= threshold)
             .select("d1", "d2", "common", "jaccard"))
+
+
+def neardup_components(pairs: DataFrame, a_col="a", b_col="b",
+                       max_iter: int = 50) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs ->
+    (id, component) where component is the MINIMUM id reachable in the
+    undirected pair graph. This is the canonicalization step of a dedup
+    pipeline: every document keeps exactly one representative (the
+    component id) and the rest are dropped.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    graph-diameter rounds. Near-dup graphs are overwhelmingly tiny
+    cliques/chains (diameter 1-3), so 3-5 distributed rounds settle a
+    corpus; ``max_iter`` bounds pathological chains. Each round is one
+    shuffle on the edge key plus a broadcast-friendly label join; labels
+    are localCheckpoint'ed to truncate the lineage (iterative plans
+    otherwise grow exponentially). Convergence is detected with a
+    changed-label count — a cheap scalar action per round.
+    """
+    edges = (pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+             .unionByName(pairs.select(F.col(b_col).alias("s"),
+                                       F.col(a_col).alias("d"))))
+    edges = edges.persist()
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .select("id", F.col("id").alias("component")))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neigh_min = (edges.join(labels, edges["s"] == labels["id"])
+                     .groupBy(F.col("d").alias("id"))
+                     .agg(F.min("component").alias("nmin")))
+        new_labels = (labels.join(neigh_min, "id", "left")
+                      .select("id", F.least("component", "nmin")
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -134,3 +134,43 @@ def test_embedding_neardup_pairs_blocking(spark, sf_dir):
         assert r["a"] < r["b"]
         assert r["cos"] >= 0.3
         assert buckets[r["a"]] == buckets[r["b"]]
+
+
+def test_neardup_components_chain_and_cliques(spark):
+    from pdftabextract_spark.operators.dedup import neardup_components
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long")
+    out = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_neardup_components_empty_and_single_pair(spark):
+    from pdftabextract_spark.operators.dedup import neardup_components
+    empty = spark.createDataFrame([], "a long, b long")
+    assert neardup_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "a long, b long")
+    out = {r["id"]: r["component"] for r in neardup_components(one).collect()}
+    assert out == {3: 3, 7: 3}
+
+
+def test_neardup_components_chain_and_cliques(spark):
+    from pdftabextract_spark.operators.dedup import neardup_components
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long")
+    out = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_neardup_components_empty_and_single_pair(spark):
+    from pdftabextract_spark.operators.dedup import neardup_components
+    empty = spark.createDataFrame([], "a long, b long")
+    assert neardup_components(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "a long, b long")
+    out = {r["id"]: r["component"] for r in neardup_components(one).collect()}
+    assert out == {3: 3, 7: 3}
