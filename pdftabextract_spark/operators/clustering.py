@@ -122,3 +122,133 @@ def global_cluster_summary(df: DataFrame, value_col: str, dist_thresh: float) ->
         .agg(F.expr(f"percentile({value_col}, 0.5)").alias("center"),
              F.count("*").alias("n"))
     )
+
+
+def page_profiles(boxes: DataFrame, col_break_dist: float,
+                  row_break_dist: float) -> DataFrame:
+    """Fused per-page profile: ONE exchange + ONE Arrow kernel computes,
+    per (doc_id, page):
+
+      col_centers  sorted break-dist cluster medians of box lefts
+                   (exact percentile-0.5 parity: sorted-midpoint mean)
+      row_tops     sorted break-dist cluster MIN tops
+      max_right / max_bottom  page extents
+
+    This replaces four separate passes over the box table (column window
+    + agg, row window + agg, extents agg, per-page centers re-agg) with
+    one repartition by the page key. Value parity with the window ops is
+    property-tested (tests/test_pipeline_e2e.py fused-vs-window).
+
+    The kernel is fully vectorized across each Arrow batch (lexsort by
+    (page, value); segment medians picked by index arithmetic on the
+    sorted values — no per-cluster Python loop) and carries the trailing
+    page across batch boundaries with the same closed-group invariant as
+    the packing kernel (operators/grid.pack_joined).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cbd, rbd = float(col_break_dist), float(row_break_dist)
+
+    src = (boxes.select(
+        "doc_id", "page", "left", "top",
+        (F.col("left") + F.col("width")).alias("right"),
+        (F.col("top") + F.col("height")).alias("bottom"))
+        .repartition("doc_id", "page")
+        .sortWithinPartitions("doc_id", "page"))
+
+    def _segments(vals_sorted, page_codes_sorted, dist):
+        """Sorted-within-page values -> (seg_start, seg_end) bounds where
+        a segment breaks on page change or gap >= dist."""
+        n = len(vals_sorted)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        if n > 1:
+            brk[1:] = ((page_codes_sorted[1:] != page_codes_sorted[:-1])
+                       | (np.diff(vals_sorted) >= dist))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        return starts, ends
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = (pdf["doc_id"].astype(str) + "\x00"
+               + pdf["page"].astype(str)).to_numpy()
+        # stable page codes in arrival (partition-sorted) order
+        page_bounds = np.flatnonzero(np.concatenate(
+            [[True], key[1:] != key[:-1]]))
+        codes = np.cumsum(np.concatenate(
+            [[True], key[1:] != key[:-1]])) - 1
+        n_pages = len(page_bounds)
+
+        left = pdf["left"].to_numpy(dtype=float)
+        top = pdf["top"].to_numpy(dtype=float)
+        right = pdf["right"].to_numpy(dtype=float)
+        bottom = pdf["bottom"].to_numpy(dtype=float)
+
+        def per_page_clusters(vals, dist, center):
+            order = np.lexsort((vals, codes))
+            sv = vals[order]
+            sp = codes[order]
+            s, e = _segments(sv, sp, dist)
+            if center == "median":
+                # exact numpy-median of each sorted segment
+                cvals = (sv[(s + e - 1) // 2] + sv[(s + e) // 2]) / 2.0
+            else:  # min
+                cvals = sv[s]
+            seg_page = sp[s]
+            # segments are page-ordered; split into per-page lists
+            cuts = np.flatnonzero(np.concatenate(
+                [[True], seg_page[1:] != seg_page[:-1]]))
+            return np.split(cvals, cuts[1:])
+
+        col_lists = per_page_clusters(left, cbd, "median")
+        row_lists = per_page_clusters(top, rbd, "min")
+        max_r = np.maximum.reduceat(right, page_bounds)
+        max_b = np.maximum.reduceat(bottom, page_bounds)
+        assert len(col_lists) == len(row_lists) == n_pages
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy()[page_bounds],
+            "page": pdf["page"].to_numpy()[page_bounds],
+            "col_centers": [list(map(float, a)) for a in col_lists],
+            "row_tops": [list(map(float, a)) for a in row_lists],
+            "max_right": max_r,
+            "max_bottom": max_b,
+        })
+
+    def kernel(batches):
+        seen = set()
+
+        def check_and_emit(pdf):
+            keys = (pdf["doc_id"].astype(str) + "\x00"
+                    + pdf["page"].astype(str)).to_numpy()
+            cuts = np.flatnonzero(np.concatenate(
+                [[True], keys[1:] != keys[:-1]]))
+            for k in keys[cuts]:
+                if k in seen:
+                    raise RuntimeError(
+                        "page_profiles: page key %r recurred after its "
+                        "group closed — input not page-contiguous" % (k,))
+                seen.add(k)
+            return _process(pdf)
+
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            k = (pdf["doc_id"].astype(str) + "\x00"
+                 + pdf["page"].astype(str))
+            last_key = k.iloc[-1]
+            hold = (k == last_key).to_numpy()
+            carry = pdf[hold]
+            emit = pdf[~hold]
+            if len(emit):
+                yield check_and_emit(emit)
+        if carry is not None and len(carry):
+            yield check_and_emit(carry)
+
+    return src.mapInPandas(
+        kernel, schema="doc_id string, page int, "
+                       "col_centers array<double>, row_tops array<double>, "
+                       "max_right double, max_bottom double")

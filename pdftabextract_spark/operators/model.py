@@ -49,7 +49,15 @@ def fit_column_model(centers: DataFrame, n_required_clusters: int,
     summary; at true web scale the fit is sharded per layout family before
     this point (SURVEY §7)."""
     pooled = normalized_centers(centers, group_cols).select("center_norm")
+    return fit_column_model_pooled(pooled, n_required_clusters, dist_thresh)
 
+
+def fit_column_model_pooled(pooled: DataFrame, n_required_clusters: int,
+                            dist_thresh: float) -> np.ndarray:
+    """Stages B+C over an already-normalized pooled centers frame (one
+    column ``center_norm``). Entry point for the fused page-profile path,
+    where per-page centers arrive as sorted arrays and normalization is a
+    JVM transform (center - centers[0]) instead of a window min."""
     arrow = pooled.toPandas()["center_norm"].to_numpy(dtype=float)
     if len(arrow) <= MAX_DRIVER_POOL:
         cluster_ind = find_clusters_1d_break_dist(arrow, dist_thresh)

@@ -113,6 +113,48 @@ def row_positions(boxes: DataFrame, params: PipelineParams,
     )
 
 
+def positions_fused(boxes: DataFrame, params: PipelineParams,
+                    persist: bool = True) -> DataFrame:
+    """Per-page (col_positions, row_positions) via the FUSED profile
+    stage: one exchange + one Arrow kernel over boxes computes column
+    cluster medians, row cluster min-tops, and page extents together
+    (operators/clustering.page_profiles); the corpus model fit pools the
+    per-page center arrays with a JVM transform (centers - centers[0])
+    instead of a second window pass, and the border assembly is pure
+    array expressions on the tiny one-row-per-page frame — the 3 window/
+    agg passes + 3-way join of the unfused formulation disappear."""
+    from ..operators.clustering import page_profiles
+    from ..operators.model import fit_column_model_pooled, repair_page_centers
+
+    profiles = page_profiles(boxes, params.col_break_dist,
+                             params.row_break_dist)
+    if persist:
+        from pyspark import StorageLevel
+        profiles = profiles.persist(StorageLevel.MEMORY_AND_DISK)
+    pooled = profiles.select(
+        F.explode(F.transform(
+            "col_centers",
+            lambda c: c - F.element_at("col_centers", 1))).alias("center_norm"))
+    model = fit_column_model_pooled(pooled, params.n_cols,
+                                    params.model_break_dist)
+    repaired = repair_page_centers(
+        profiles, model, centers_col="col_centers",
+        same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)
+    pad_x, pad_y = float(params.pad_x), float(params.pad_y)
+    return repaired.select(
+        "doc_id", "page",
+        F.concat(
+            F.transform("centers_fixed", lambda c: c - F.lit(pad_x)),
+            F.array(F.greatest(
+                F.col("max_right") + F.lit(pad_x),
+                F.element_at("centers_fixed", -1) + F.lit(2 * pad_x)))
+        ).alias("col_positions"),
+        F.concat(
+            F.transform("row_tops", lambda t: t - F.lit(pad_y)),
+            F.array(F.col("max_bottom") + F.lit(pad_y))
+        ).alias("row_positions"))
+
+
 def extract_cells(boxes: DataFrame, params: PipelineParams,
                   persist: bool = True, page_contiguous: bool = False) -> DataFrame:
     """boxes -> (doc_id, page, row_idx, col_idx, cell_text) full grid.
@@ -132,21 +174,10 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
         # NOTE: measured local[8]@sf0.01 — an explicit
         # repartition("doc_id","page") before persist costs more (extra
         # eager exchange + broken AQE broadcast choices downstream) than
-        # the window exchanges it saves; persist unpartitioned and let AQE
+        # the exchanges it saves; persist unpartitioned and let AQE
         # plan each branch
         boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
-    extents = page_extents(boxes)
-    # per-page column cluster centers feed BOTH the corpus model fit
-    # (driver collect) and the per-page repair — persist the tiny frame
-    # (one row per page-cluster) so the window over boxes runs once
-    centers = cluster_centers(
-        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
-    if persist:
-        from pyspark import StorageLevel
-        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
-    cols = column_positions(boxes, params, extents, centers)
-    rows = row_positions(boxes, params, extents)
-    positions = cols.join(rows, ["doc_id", "page"])
+    positions = positions_fused(boxes, params, persist)
     if persist:
         from pyspark import StorageLevel
         positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
@@ -171,15 +202,7 @@ def extract_cells_packed(boxes: DataFrame, params: PipelineParams,
     if persist:
         from pyspark import StorageLevel
         boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
-    extents = page_extents(boxes)
-    centers = cluster_centers(
-        boxes, "left", params.col_break_dist, ("doc_id", "page"), center="median")
-    if persist:
-        from pyspark import StorageLevel
-        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
-    cols = column_positions(boxes, params, extents, centers)
-    rows = row_positions(boxes, params, extents)
-    positions = cols.join(rows, ["doc_id", "page"])
+    positions = positions_fused(boxes, params, persist)
     return assign_and_pack_from(boxes, positions, page_contiguous)
 
 

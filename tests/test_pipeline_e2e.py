@@ -182,3 +182,32 @@ def test_image_page_attribution_trailing_and_imageonly(spark):
     assert got == {("t", 2): "mem://t/2.png",
                    ("i", 1): "mem://i/1.png",
                    ("i", 2): "mem://i/2.png"}
+
+
+def test_fused_profiles_equal_window_formulation(spark):
+    """positions_fused (single-exchange Arrow kernel) must produce
+    byte-identical per-page borders to the window+agg formulation."""
+    from pyspark.sql import functions as F
+    from pdftabextract_spark.sources import synth
+    from pdftabextract_spark.sources.spans import textboxes_from_spans
+    from pdftabextract_spark.plans.pipeline import (
+        PipelineParams, positions_fused, page_extents, column_positions,
+        row_positions)
+
+    params = synth.CorpusParams(seed=4242, n_docs=25, n_cols=5)
+    pipe = PipelineParams(n_cols=5, min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    boxes = (textboxes_from_spans(synth.span_docs_df(spark, params))
+             .where((F.col("width") > 0) & (F.col("height") > 0)))
+
+    extents = page_extents(boxes)
+    old = (column_positions(boxes, pipe, extents)
+           .join(row_positions(boxes, pipe, extents), ["doc_id", "page"]))
+    new = positions_fused(boxes, pipe, persist=False)
+
+    j = old.alias("o").join(new.alias("n"), ["doc_id", "page"], "full_outer")
+    diff = j.where(~(
+        F.col("o.col_positions").eqNullSafe(F.col("n.col_positions"))
+        & F.col("o.row_positions").eqNullSafe(F.col("n.row_positions")))).count()
+    assert diff == 0
+    assert new.count() == old.count() > 0
