@@ -85,17 +85,25 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id", bits=16) -> DataF
     return agg.select("doc_id", val.cast("long").alias("simhash"))
 
 
-def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id") -> DataFrame:
+def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
+                  hashed: bool = False) -> DataFrame:
     """Distinct word n-gram shingles per doc (JVM-side transform over
-    sequence — no Python)."""
+    sequence — no Python). ``hashed`` replaces the shingle string with
+    xxhash64(s) BEFORE the distinct: the dedup and the downstream
+    equi-join then move 8-byte longs instead of ~n-word strings through
+    the exchange (string keys dominated the q18 shuffle). A 64-bit
+    collision between two distinct shingles of the same doc pair is the
+    only way this changes a count (~1e-10 at 10^5 distinct shingles,
+    deterministic when it happens)."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("ws"))
     d = d.where(F.size("ws") >= n)
-    return d.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("ws") - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))).alias("s")
-    ).distinct()
+    shingle = F.explode(F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n))))
+    if hashed:
+        return (d.select("doc_id", shingle.alias("raw"))
+                .select("doc_id", F.xxhash64("raw").alias("s")).distinct())
+    return d.select("doc_id", shingle.alias("s")).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
@@ -106,7 +114,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
     that many docs (stop-shingles) — THE scale knob: it bounds the join
     fanout per shingle at the cost of slightly underestimating overlap of
     boilerplate-heavy pairs."""
-    sh = word_shingles(docs, n, text_col, id_col)
+    sh = word_shingles(docs, n, text_col, id_col, hashed=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().where(F.col("count") > max_shingle_df) \
                 .select("s")
