@@ -79,6 +79,53 @@ def bench_extract(spark, n_docs):
     return best, n_spans
 
 
+def image_corpus_path(n_docs):
+    return f"/tmp/ptx_bench_imgcorpus_{n_docs}"
+
+
+def materialize_image_corpus(spark, n_docs):
+    """Materialize the image-path inputs (textboxes, pages, PNG media —
+    rotated pages so the rotation-repair stage does real work) once."""
+    from pdftabextract_spark.sources import synth
+    base = image_corpus_path(n_docs)
+    params = synth.CorpusParams(seed=77, n_docs=n_docs, n_cols=5,
+                                with_images=True, rotation_deg=1.0,
+                                page_dist=((1, 0.5), (2, 0.5)))
+    if not os.path.exists(os.path.join(base, "media", "_SUCCESS")):
+        synth.textboxes_df(spark, params).repartition(32) \
+            .write.mode("overwrite").parquet(os.path.join(base, "boxes"))
+        synth.pages_df(spark, params).repartition(8) \
+            .write.mode("overwrite").parquet(os.path.join(base, "pages"))
+        synth.media_df(spark, params).repartition(32) \
+            .write.mode("overwrite").parquet(os.path.join(base, "media"))
+    return base, params
+
+
+def bench_image_extract(spark, n_docs=200):
+    """Image-line-driven extraction (catalogue path: decode -> Canny ->
+    Hough -> rotation repair -> line-cluster columns -> grid) over
+    rotated rendered pages; returns (best seconds, n_pages, n_cells)."""
+    from pdftabextract_spark.plans.pipeline import (
+        PipelineParams, extract_cells_image_path)
+    base, params = materialize_image_corpus(spark, n_docs)
+    boxes = spark.read.parquet(os.path.join(base, "boxes"))
+    pages = spark.read.parquet(os.path.join(base, "pages"))
+    media = spark.read.parquet(os.path.join(base, "media"))
+    n_pages = pages.count()
+    pipe = PipelineParams(n_cols=params.n_cols,
+                          min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    best, n_cells = None, 0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_cells = extract_cells_image_path(boxes, pages, media, pipe).count()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return best, n_pages, n_cells
+
+
 def main():
     extract_only = "--extract-only" in sys.argv
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
@@ -92,6 +139,12 @@ def main():
     dt, n_spans = bench_extract(spark, n_docs)
     queries["extract_e2e"] = round(dt, 3)
     docs_per_sec = round(n_docs / dt, 2)
+
+    img_pages = img_pps = None
+    if not extract_only:
+        dt_img, img_pages, _ = bench_image_extract(spark)
+        queries["image_e2e"] = round(dt_img, 3)
+        img_pps = round(img_pages / dt_img, 2)
 
     if not extract_only:
         import __spark_entry__ as entrymod
@@ -116,6 +169,9 @@ def main():
         "extract_docs_per_sec": docs_per_sec,
         "cpus": CPUS,
     }
+    if img_pps is not None:
+        result["image_pages"] = img_pages
+        result["image_pages_per_sec"] = img_pps
     spark.stop()
     print(json.dumps(result))
 

@@ -78,19 +78,21 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     n_rho = int(math.ceil(diag / rho_res)) * 2 + 1
     rho_offset = (n_rho - 1) // 2
 
-    cos_t = np.cos(thetas)
-    sin_t = np.sin(thetas)
-
     acc = np.zeros((n_rho, n_theta), dtype=np.int64)
-    # chunk edge pixels to bound the (pixels x thetas) temp matrix
-    chunk = max(1, int(4_000_000 / max(n_theta, 1)))
-    for s in range(0, len(xs), chunk):
-        xc = xs[s:s + chunk, None].astype(float)
-        yc = ys[s:s + chunk, None].astype(float)
-        rho = xc * cos_t[None, :] + yc * sin_t[None, :]
-        rho_idx = np.rint(rho / rho_res).astype(np.int64) + rho_offset
-        flat = rho_idx * n_theta + np.arange(n_theta, dtype=np.int64)[None, :]
-        acc += np.bincount(flat.ravel(), minlength=n_rho * n_theta).reshape(n_rho, n_theta)
+    # accumulate per THETA COLUMN: one n_edges-sized rho computation and
+    # one n_rho-sized bincount per angle. The (pixels x thetas) matrix
+    # formulation moved a full accumulator-sized bincount (tens of MB)
+    # through memory per pixel chunk — 20x slower on a bandwidth-bound
+    # host. float32 on purpose: it is what cv2's hough.cpp accumulates
+    # in, and it halves the per-column traffic.
+    xf = xs.astype(np.float32)
+    yf = ys.astype(np.float32)
+    inv_rho = np.float32(1.0 / rho_res)
+    for j in range(n_theta):
+        c = np.float32(np.cos(thetas[j]))
+        s = np.float32(np.sin(thetas[j]))
+        rho_idx = np.rint((xf * c + yf * s) * inv_rho).astype(np.int32) + rho_offset
+        acc[:, j] += np.bincount(rho_idx, minlength=n_rho)
 
     # OpenCV returns only LOCAL PEAKS of the accumulator (hough.cpp
     # findLocalMaximums): acc > threshold AND strictly greater than the
