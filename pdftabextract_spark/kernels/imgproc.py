@@ -78,20 +78,24 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     n_rho = int(math.ceil(diag / rho_res)) * 2 + 1
     rho_offset = (n_rho - 1) // 2
 
-    acc = np.zeros((n_rho, n_theta), dtype=np.int64)
-    # accumulate per THETA COLUMN: one n_edges-sized rho computation and
-    # one n_rho-sized bincount per angle. The (pixels x thetas) matrix
-    # formulation moved a full accumulator-sized bincount (tens of MB)
-    # through memory per pixel chunk — 20x slower on a bandwidth-bound
-    # host. float32 on purpose: it is what cv2's hough.cpp accumulates
-    # in, and it halves the per-column traffic.
+    # float32 on purpose: it is what cv2's hough.cpp accumulates in, and
+    # it halves the memory traffic of the rho computation.
     xf = xs.astype(np.float32)
     yf = ys.astype(np.float32)
     inv_rho = np.float32(1.0 / rho_res)
+    # accumulate per THETA COLUMN — one n_edges rho computation and one
+    # n_rho-sized bincount per angle. Measured best at every edge-count
+    # scale here: the (pixels x thetas) matrix formulation moves an
+    # accumulator-sized bincount (tens of MB) through memory per pixel
+    # chunk — 20x slower on a bandwidth-bound host for big scans — and
+    # even theta-blocked variants lose to the plain column loop on small
+    # synthetic renders (tests/bench, 2026-08-17).
+    cos_t = np.cos(thetas).astype(np.float32)
+    sin_t = np.sin(thetas).astype(np.float32)
+    acc = np.zeros((n_rho, n_theta), dtype=np.int64)
     for j in range(n_theta):
-        c = np.float32(np.cos(thetas[j]))
-        s = np.float32(np.sin(thetas[j]))
-        rho_idx = np.rint((xf * c + yf * s) * inv_rho).astype(np.int32) + rho_offset
+        rho_idx = np.rint((xf * cos_t[j] + yf * sin_t[j]) * inv_rho) \
+            .astype(np.int32) + rho_offset
         acc[:, j] += np.bincount(rho_idx, minlength=n_rho)
 
     # OpenCV returns only LOCAL PEAKS of the accumulator (hough.cpp
