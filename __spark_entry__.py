@@ -335,7 +335,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id").cast("long").alias("vec_id"),
                         F.col("component").cast("long").alias("component")))
 
+    def q30_html_strip(spark, sf):
+        # HTML boilerplate-strip baseline: wrap the document text in
+        # markup, strip tags + normalize whitespace with portable regexes
+        # (identical expressions run in the DuckDB oracle)
+        from pdftabextract_spark.operators.htmlextract import strip_tags_expr
+        d = _load(spark, sf, "documents")
+        html = F.concat(F.lit("<html><body><nav><a href=x>Home</a></nav><p>"),
+                        F.col("text"),
+                        F.lit("</p></body></html>"))
+        return (d.select("doc_id", strip_tags_expr(html).alias("stripped"))
+                .where(F.col("doc_id") < 20)
+                .select("doc_id", F.substring("stripped", 1, 80).alias("head80")))
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
+
+    def q43_html_main_content(spark, sf):
+        # DOM-heuristic main-content extraction (html.parser blocks +
+        # jusText-style classification) over synthesized pages: article
+        # paragraphs from document text, nav/footer chrome around them.
+        # Heuristic + stdlib parser -> no SQL-expressible oracle;
+        # correctness is pinned by tests/test_htmlextract.py.
+        from pdftabextract_spark.operators.htmlextract import main_content
+        d = _load(spark, sf, "documents").where(F.col("doc_id") < 50)
+        pages = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><nav><a href=a>Home</a> <a href=b>About"
+                      "</a></nav><article><p>"),
+                F.col("text"),
+                F.lit("</p></article><footer>Copyright <a href=c>Legal</a>"
+                      "</footer></body></html>")).alias("text"))
+        return main_content(pages)
 
     def q40_extract_cells_synth(spark, sf):
         from pdftabextract_spark.sources import synth
@@ -724,6 +755,14 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v)
             SELECT v AS vec_id, MIN(r) AS component FROM reach GROUP BY v
+        """,
+        "q30_html_strip": """
+            SELECT doc_id,
+                   substring(trim(regexp_replace(regexp_replace(
+                     '<html><body><nav><a href=x>Home</a></nav><p>' || text
+                       || '</p></body></html>',
+                     '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')), 1, 80) AS head80
+            FROM documents WHERE doc_id < 20
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.
