@@ -211,3 +211,34 @@ def test_fused_profiles_equal_window_formulation(spark):
         & F.col("o.row_positions").eqNullSafe(F.col("n.row_positions")))).count()
     assert diff == 0
     assert new.count() == old.count() > 0
+
+
+def test_skewed_page_counts_extraction(spark):
+    """North-star skew hardening: pages-per-doc is heavy-tailed at corpus
+    scale. A corpus where a few docs carry 50x the median page count must
+    extract with exact span-sequence equality — the unit of work is the
+    PAGE key (doc_id, page), so a mega-doc spreads across partitions
+    instead of hot-spotting one."""
+    from pyspark.sql import functions as F
+    from pdftabextract_spark.sources import synth
+    from pdftabextract_spark.plans.pipeline import (
+        PipelineParams, extract_from_span_table)
+
+    params = synth.CorpusParams(seed=97, n_docs=14, n_cols=5,
+                                page_dist=((1, 0.6), (2, 0.25), (50, 0.15)))
+    pipe = PipelineParams(n_cols=5, min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    result = extract_from_span_table(synth.span_docs_df(spark, params), pipe)
+    expected = synth.expected_spans_df(spark, params)
+    # the corpus really is skewed
+    pages_per_doc = (synth.pages_df(spark, params)
+                     .groupBy("doc_id").count().agg(
+                         F.max("count"), F.expr("percentile(count, 0.5)"))
+                     .first())
+    assert pages_per_doc[0] >= 25 * max(pages_per_doc[1], 1)
+
+    j = result.alias("r").join(expected.alias("e"),
+                               ["doc_id", "offset"], "full_outer")
+    bad = j.where(~(F.col("r.kind").eqNullSafe(F.col("e.kind"))
+                    & F.col("r.text").eqNullSafe(F.col("e.text")))).count()
+    assert bad == 0 and expected.count() > 0
