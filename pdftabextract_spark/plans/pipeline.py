@@ -229,6 +229,13 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
 
     boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
     lines = detect_lines(pages, media)
+    if persist:
+        from pyspark import StorageLevel
+        # materialize the Hough output ONCE: rotations and filtered both
+        # consume it via separate actions, which would otherwise decode +
+        # Canny + Hough every image twice
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+        lines.count()
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
         omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg))
