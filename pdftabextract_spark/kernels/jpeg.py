@@ -306,46 +306,74 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     vals = [[] for _ in range(n_comp)]
     blk_counter = [0] * n_comp
 
+    # per-component decode context; huffman LUTs as plain lists (python
+    # list indexing + int bit ops beat numpy scalar indexing ~5x in this
+    # loop) and the bit reader inlined into locals — the entropy decode
+    # is the whole-decoder hot path on multi-MP scans
+    lut_cache = {}
+
+    def as_list(a):
+        key = id(a)
+        if key not in lut_cache:
+            lut_cache[key] = a.tolist()
+        return lut_cache[key]
+
+    comp_ctx = [(as_list(comp.dc_tab), as_list(comp.ac_tab),
+                 blocks_per_mcu[ci], ci in skip_idx,
+                 bis[ci].append, ks[ci].append, vals[ci].append)
+                for ci, comp in enumerate(comps)]
+
     intervals = _split_intervals(data, sstart)
     per_interval = restart if restart else n_mcus
     mcu_done = 0
     for interval in intervals:
         if mcu_done >= n_mcus:
             break
-        rd = _BitReader(interval)
+        idata = interval
+        ilen = len(idata)
+        pos = 0
+        buf = 0
+        cnt = 0
         preds = [0] * n_comp
         n_here = min(per_interval, n_mcus - mcu_done)
         for _ in range(n_here):
-            for ci, comp in enumerate(comps):
-                dc_tab = comp.dc_tab
-                ac_tab = comp.ac_tab
-                b_app = bis[ci].append
-                k_app = ks[ci].append
-                v_app = vals[ci].append
-                skip = ci in skip_idx
-                for _b in range(blocks_per_mcu[ci]):
+            for ci in range(n_comp):
+                dc_tab, ac_tab, nblk, skip, b_app, k_app, v_app = comp_ctx[ci]
+                pred = preds[ci]
+                for _b in range(nblk):
                     bi = blk_counter[ci]
                     blk_counter[ci] = bi + 1
                     # DC
-                    e = dc_tab[rd.peek16()]
+                    while cnt < 16:
+                        buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
+                        pos += 1
+                        cnt += 8
+                    e = dc_tab[(buf >> (cnt - 16)) & 0xFFFF]
                     if e == 0:
                         raise ValueError("invalid huffman code (DC)")
-                    rd.skip(e & 31)
+                    cnt -= e & 31
                     s = e >> 5
                     if s:
-                        diff = _extend(rd.read(s), s)
-                    else:
-                        diff = 0
-                    preds[ci] += diff
+                        while cnt < s:
+                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
+                            pos += 1
+                            cnt += 8
+                        cnt -= s
+                        v = (buf >> cnt) & ((1 << s) - 1)
+                        pred += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                     if not skip:
-                        b_app(bi); k_app(0); v_app(preds[ci])
+                        b_app(bi); k_app(0); v_app(pred)
                     # AC
                     k = 1
                     while k < 64:
-                        e = ac_tab[rd.peek16()]
+                        while cnt < 16:
+                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
+                            pos += 1
+                            cnt += 8
+                        e = ac_tab[(buf >> (cnt - 16)) & 0xFFFF]
                         if e == 0:
                             raise ValueError("invalid huffman code (AC)")
-                        rd.skip(e & 31)
+                        cnt -= e & 31
                         sym = e >> 5
                         if sym == 0:        # EOB
                             break
@@ -354,10 +382,18 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
                             continue
                         k += sym >> 4
                         s = sym & 15
-                        v = _extend(rd.read(s), s)
+                        while cnt < s:
+                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
+                            pos += 1
+                            cnt += 8
+                        cnt -= s
+                        v = (buf >> cnt) & ((1 << s) - 1)
+                        if v < (1 << (s - 1)):
+                            v += 1 - (1 << s)
                         if k < 64 and not skip:
                             b_app(bi); k_app(k); v_app(v)
                         k += 1
+                preds[ci] = pred
         mcu_done += n_here
 
     # per component: dense coeffs -> dequant -> IDCT -> plane

@@ -25,8 +25,11 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 array (H,W) grayscale or (H,W,3) RGB -> PNG bytes."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """uint8 array (H,W) grayscale or (H,W,3) RGB -> PNG bytes.
+    ``level``: zlib level — use 1 for internal intermediates (split-page
+    blobs) where encode speed matters and the bytes never leave the
+    job."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         a = a.astype(np.uint8)
@@ -44,7 +47,7 @@ def encode_png(img: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     filt = np.zeros((h, raw_rows.shape[1] + 1), dtype=np.uint8)
     filt[:, 1:] = raw_rows
-    idat = zlib.compress(filt.tobytes(), 6)
+    idat = zlib.compress(filt.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

@@ -100,8 +100,8 @@ def split_media(media: DataFrame, pages: DataFrame, separators: DataFrame,
                     a, bimg = img[:, :pos].copy(), img[:, pos:].copy()
                 else:
                     a, bimg = img[:pos, :].copy(), img[pos:, :].copy()
-                rows.append((r.media_ref + "#A", encode_png(a)))
-                rows.append((r.media_ref + "#B", encode_png(bimg)))
+                rows.append((r.media_ref + "#A", encode_png(a, level=1)))
+                rows.append((r.media_ref + "#B", encode_png(bimg, level=1)))
             yield pd.DataFrame(rows, columns=["media_ref", "bytes"])
 
     return j.mapInPandas(kernel, schema="media_ref string, bytes binary")

@@ -11,7 +11,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     from pdftabextract_spark.session import get_spark
-    s = get_spark(app_name="pdftabextract-spark-tests", cores=4, shuffle_partitions=8)
+    s = get_spark(app_name="pdftabextract-spark-tests", cores=8, shuffle_partitions=8)
     yield s
     s.stop()
 
