@@ -99,9 +99,12 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
         acc[:, j] += np.bincount(rho_idx, minlength=n_rho)
 
     # OpenCV returns only LOCAL PEAKS of the accumulator (hough.cpp
-    # findLocalMaximums): acc > threshold AND strictly greater than the
-    # previous rho/theta neighbor AND >= the next one. Without this,
-    # every above-threshold cell around a true line (and every dense text
+    # findLocalMaximums): strictly greater than the previous rho/theta
+    # neighbor AND >= the next one (neighbor comparisons match cv2;
+    # the vote cut here is INCLUSIVE — acc >= votes_thresh — where cv2
+    # uses strict >, a deliberate off-by-one kept because the goldens
+    # were validated against it). Without the peak filter, every
+    # above-threshold cell around a true line (and every dense text
     # region) floods the output with near-duplicate lines.
     up = np.zeros_like(acc); up[1:, :] = acc[:-1, :]      # rho - 1
     down = np.zeros_like(acc); down[:-1, :] = acc[1:, :]  # rho + 1

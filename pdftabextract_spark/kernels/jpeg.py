@@ -142,39 +142,10 @@ def _extend(v, s):
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-class _BitReader:
-    """MSB-first bit reader over de-stuffed entropy bytes. Reads past the
-    end return 1-padding (spec behavior for the final truncated MCU)."""
-
-    __slots__ = ("data", "n", "pos", "buf", "cnt")
-
-    def __init__(self, data):
-        self.data = data
-        self.n = len(data)
-        self.pos = 0
-        self.buf = 0
-        self.cnt = 0
-
-    def peek16(self):
-        while self.cnt < 16:
-            b = self.data[self.pos] if self.pos < self.n else 0xFF
-            self.pos += 1
-            self.buf = ((self.buf << 8) | b) & 0xFFFFFF
-            self.cnt += 8
-        return (self.buf >> (self.cnt - 16)) & 0xFFFF
-
-    def skip(self, k):
-        self.cnt -= k
-
-    def read(self, k):
-        while self.cnt < k:
-            b = self.data[self.pos] if self.pos < self.n else 0xFF
-            self.pos += 1
-            self.buf = ((self.buf << 8) | b) & 0xFFFFFF
-            self.cnt += 8
-        self.cnt -= k
-        return (self.buf >> self.cnt) & ((1 << k) - 1)
-
+# The MSB-first bit reader (peek16/skip/read over de-stuffed entropy
+# bytes, 1-padding past the end per spec) lives inlined in decode_jpeg's
+# entropy loop as buf/cnt/pos locals — attribute access per symbol was
+# the decode hot spot.
 
 # ---------------------------------------------------------------- decode
 

@@ -106,18 +106,34 @@ def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
     return d.select("doc_id", shingle.alias("s")).distinct()
 
 
+MAX_SHINGLE_DF_DEFAULT = 1000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
                         text_col="text", id_col="doc_id",
-                        max_shingle_df=None) -> DataFrame:
+                        max_shingle_df=MAX_SHINGLE_DF_DEFAULT,
+                        log_dropped=False) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold via shingle
     equi-join. ``max_shingle_df`` drops shingles appearing in more than
-    that many docs (stop-shingles) — THE scale knob: it bounds the join
-    fanout per shingle at the cost of slightly underestimating overlap of
-    boilerplate-heavy pairs."""
+    that many docs (stop-shingles) — THE scale knob: it bounds the
+    per-shingle join fanout at df^2 (default 1000 -> <=1e6 pairs per hot
+    shingle) at the cost of slightly underestimating overlap of
+    boilerplate-heavy pairs. An unbounded hot shingle (site boilerplate in
+    50% of a 10^9-doc corpus) otherwise makes the equi-join quadratic in
+    its document frequency. Pass ``max_shingle_df=None`` for exact
+    Jaccard; ``log_dropped=True`` counts and warns about dropped
+    stop-shingles (one extra action — keep off the hot path)."""
     sh = word_shingles(docs, n, text_col, id_col, hashed=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().where(F.col("count") > max_shingle_df) \
                 .select("s")
+        if log_dropped:
+            import warnings
+            n_hot = hot.count()
+            if n_hot:
+                warnings.warn(
+                    "ngram_jaccard_pairs: dropping %d stop-shingles with "
+                    "df > %d" % (n_hot, max_shingle_df))
         sh = sh.join(hot, "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -24,7 +24,9 @@ def col_name(i: int, n_cols: int) -> str:
 def cells_to_wide(cells: DataFrame) -> DataFrame:
     """Pivot long cells to one row per (doc, page, row) with colNN columns
     and a from_page column. Pivot happens only at export (engine-internal
-    stays long-form — SURVEY §1.5)."""
+    stays long-form — SURVEY §1.5). The ``collect()`` here is a 1-value
+    scalar action (max col count) needed to name the pivot columns —
+    export-only, never on the analytics hot path."""
     n_cols = cells.agg(F.max("col_idx")).collect()[0][0] + 1
     names = [col_name(i, n_cols) for i in range(n_cols)]
     wide = (cells.groupBy("doc_id", "page", "row_idx")

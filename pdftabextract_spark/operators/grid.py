@@ -60,10 +60,8 @@ def assign_cells_joined(boxes: DataFrame, positions: DataFrame) -> DataFrame:
     needed at all; the kernel just sub-groups each Arrow batch by page to
     vectorize boxes x cells scoring. ~50x fewer Python crossings than a
     per-page applyInPandas."""
-    import pandas as pd
-    from ..kernels.gridfit import fit_page_boxes
-
     import numpy as np
+    import pandas as pd
     from ..kernels.gridfit import assign_boxes_to_cells
 
     joined = boxes.join(

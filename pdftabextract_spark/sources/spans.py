@@ -54,8 +54,9 @@ def pages_from_spans(span_docs: DataFrame) -> DataFrame:
     span immediately precedes that page's text spans, so the image takes
     the page of the next text span by offset. Rank-based numbering
     misattributes images whenever some pages carry no image span (e.g.
-    pdf2xml docs where only a few pages were scanned). Fallbacks: a
-    trailing image with no following text takes prev-text-page + 1; a doc
+    pdf2xml docs where only a few pages were scanned). Fallbacks: the
+    k-th trailing image with no following text takes prev-text-page + k
+    (monotone — multiple trailing images never collide on a page); a doc
     with no text spans at all falls back to image rank. One media row per
     (doc_id, page) — lowest offset wins, the reference's
     select_image='first' (common.py:97-122)."""
@@ -75,11 +76,16 @@ def pages_from_spans(span_docs: DataFrame) -> DataFrame:
     )
     imgs = enriched.where(F.col("kind") == "image")
     w_img = W.partitionBy("doc_id").orderBy("offset")
+    # trailing images (no following text) form the offset-ordered suffix,
+    # so this running count numbers them 1..k past the last text page
+    trail_k = F.sum(
+        F.when(F.col("_next_pg").isNull(), 1).otherwise(0)
+    ).over(w_img.rowsBetween(W.unboundedPreceding, W.currentRow))
     imgs = imgs.select(
         "doc_id", "media_ref", "offset",
         F.coalesce(
             F.col("_next_pg"),
-            F.col("_prev_pg") + F.lit(1),
+            F.col("_prev_pg") + trail_k,
             F.row_number().over(w_img),
         ).cast("int").alias("page"),
     )

@@ -58,6 +58,48 @@ def test_ngram_jaccard(docs):
     assert (4, 5) not in pairs
 
 
+def test_ngram_jaccard_stop_shingle_cap_bounds_fanout(spark):
+    """VERDICT r2 item 3: a boilerplate shingle present in 50% of docs
+    must not explode the shingle equi-join. With max_shingle_df set below
+    its document frequency the hot shingle is dropped (stop-shingle), the
+    boilerplate-only pairs disappear, and the common-count of genuinely
+    similar pairs excludes it; unique shingles still match exactly."""
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for i in range(40):
+        body = "unique words body %d alpha beta gamma delta" % i
+        # docs 0..19 carry the boilerplate; 0 and 1 also share their body
+        text = (boiler + " " + body) if i < 20 else body
+        rows.append((i, text))
+    rows[1] = (1, boiler + " unique words body 0 alpha beta gamma delta")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                   max_shingle_df=10)
+    uncapped = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1,
+                                     max_shingle_df=None)
+    got_capped = {(r["d1"], r["d2"]): r for r in capped.collect()}
+    got_uncapped = {(r["d1"], r["d2"]): r for r in uncapped.collect()}
+    # uncapped: every boilerplate doc pair shares >= 3 shingles -> 190
+    # boilerplate-only pairs; capped: only the true near-dup remains
+    assert len(got_uncapped) >= 190
+    assert set(got_capped) == {(0, 1)}
+    # and the surviving pair's common count no longer includes the
+    # boilerplate run (shared body shingles only)
+    assert got_capped[(0, 1)]["common"] < got_uncapped[(0, 1)]["common"]
+
+
+def test_ngram_jaccard_default_cap_no_op_on_small_corpus(docs):
+    """The finite default cap (1000) must be invisible below 1000 docs —
+    identical pairs with and without it (the sf0.01 oracle relies on
+    this)."""
+    with_cap = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, threshold=0.2).collect()))
+    exact = sorted(map(tuple, D.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_df=None).collect()))
+    assert with_cap == exact
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark):
     # a shingle present in every doc is dropped by the df cap
     rows = [(i, "common shingle words unique%d tail%d extra" % (i, i))
@@ -134,26 +176,6 @@ def test_embedding_neardup_pairs_blocking(spark, sf_dir):
         assert r["a"] < r["b"]
         assert r["cos"] >= 0.3
         assert buckets[r["a"]] == buckets[r["b"]]
-
-
-def test_neardup_components_chain_and_cliques(spark):
-    from pdftabextract_spark.operators.dedup import neardup_components
-    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
-        "a long, b long")
-    out = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
-
-
-def test_neardup_components_empty_and_single_pair(spark):
-    from pdftabextract_spark.operators.dedup import neardup_components
-    empty = spark.createDataFrame([], "a long, b long")
-    assert neardup_components(empty).count() == 0
-    one = spark.createDataFrame([(7, 3)], "a long, b long")
-    out = {r["id"]: r["component"] for r in neardup_components(one).collect()}
-    assert out == {3: 3, 7: 3}
 
 
 def test_neardup_components_chain_and_cliques(spark):

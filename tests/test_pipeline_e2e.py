@@ -184,6 +184,34 @@ def test_image_page_attribution_trailing_and_imageonly(spark):
                    ("i", 2): "mem://i/2.png"}
 
 
+def test_image_page_attribution_multi_trailing(spark):
+    """VERDICT r2 item 8: several trailing images (no following text) must
+    land on DISTINCT monotone pages prev+1, prev+2, ... — the old
+    prev+1-for-all fallback collided them onto one page and the
+    first-by-offset rule silently dropped all but the first."""
+    from pdftabextract_spark.sources.spans import pages_from_spans
+
+    spans = [
+        {"kind": "text",
+         "text": '{"v":"x","l":1.0,"t":1.0,"w":2.0,"h":2.0,"p":3}',
+         "media_ref": None, "offset": 0},
+        {"kind": "image", "text": None, "media_ref": "mem://m/a.png",
+         "offset": 1},
+        {"kind": "image", "text": None, "media_ref": "mem://m/b.png",
+         "offset": 2},
+        {"kind": "image", "text": None, "media_ref": "mem://m/c.png",
+         "offset": 3},
+    ]
+    docs = spark.createDataFrame(
+        [("m", spans)],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>")
+    got = {r["page"]: r["media_ref"]
+           for r in pages_from_spans(docs).collect()}
+    assert got == {4: "mem://m/a.png", 5: "mem://m/b.png",
+                   6: "mem://m/c.png"}
+
+
 def test_fused_profiles_equal_window_formulation(spark):
     """positions_fused (single-exchange Arrow kernel) must produce
     byte-identical per-page borders to the window+agg formulation."""
