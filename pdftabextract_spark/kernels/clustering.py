@@ -193,19 +193,32 @@ def fit_center_model(centers_norm_clusters, n_required_clusters):
     runs on the driver over a tiny pooled array.
     Parity: clustering.py:111-140.
     """
-    if len(centers_norm_clusters) < n_required_clusters:
-        return np.array(sorted(np.median(vals) for _, vals in centers_norm_clusters)), False
+    return fit_center_model_summaries(
+        [(len(vals), np.median(vals)) for _, vals in centers_norm_clusters],
+        n_required_clusters)
 
-    # The reference's loop (clustering.py:120-136) counts min_n_values down
-    # from the LARGEST cluster size, appending each pass's still-unseen
-    # cluster medians in list order and removing appended clusters. With
-    # static lengths/medians this is exactly: visit clusters in decreasing
-    # length (stable on list order), skip duplicate median VALUES, stop at
-    # n_required. The direct loop is O(max_len x clusters x median) — at
-    # web scale max_len is the page count, so we run the equivalent
-    # O(C log C) form (equivalence property-tested against a direct port
-    # in tests/test_kernels_clustering.py).
-    pre = [(len(vals), i, np.median(vals)) for i, (_, vals) in enumerate(centers_norm_clusters)]
+
+def fit_center_model_summaries(summaries, n_required_clusters):
+    """:func:`fit_center_model` over ``(count, median)`` cluster summaries
+    in ascending-value order — the web-scale entry point: the filter only
+    ever consumes each cluster's size and exact median, so clusters never
+    need materializing (the distributed fit aggregates them to this tuple
+    per cluster, O(distinct column offsets) rows).
+
+    The reference's loop (clustering.py:120-136) counts min_n_values down
+    from the LARGEST cluster size, appending each pass's still-unseen
+    cluster medians in list order and removing appended clusters. With
+    static lengths/medians this is exactly: visit clusters in decreasing
+    length (stable on list order), skip duplicate median VALUES, stop at
+    n_required. The direct loop is O(max_len x clusters x median) — at
+    web scale max_len is the page count, so we run the equivalent
+    O(C log C) form (equivalence property-tested against a direct port
+    in tests/test_kernels_clustering.py).
+    """
+    if len(summaries) < n_required_clusters:
+        return np.array(sorted(m for _n, m in summaries)), False
+
+    pre = [(n, i, m) for i, (n, m) in enumerate(summaries)]
     pre.sort(key=lambda x: (-x[0], x[1]))
     medians = []
     for _length, _i, m in pre:

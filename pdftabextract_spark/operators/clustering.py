@@ -103,27 +103,6 @@ def cluster_centers_pluggable(df: DataFrame, value_col: str, group_cols,
     return out.drop("_sd")
 
 
-def global_cluster_summary(df: DataFrame, value_col: str, dist_thresh: float) -> DataFrame:
-    """Cluster ALL rows (no grouping) and return (center, n) per cluster.
-
-    Used for the corpus-level column-model fit over pooled normalized
-    centers: input size is ~pages x columns doubles, so the single-ordering
-    window is cheap relative to everything else; at extreme corpus sizes
-    the model fit is sharded per layout family before this point
-    (SURVEY.md §7 'Global model fitting').
-    """
-    w = W.orderBy(F.col(value_col).asc())
-    gap = F.col(value_col) - F.lag(value_col).over(w)
-    is_break = F.when(gap >= F.lit(float(dist_thresh)), 1).otherwise(0)
-    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    clustered = df.withColumn("cluster_id", F.sum(is_break).over(cum))
-    return (
-        clustered.groupBy("cluster_id")
-        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("center"),
-             F.count("*").alias("n"))
-    )
-
-
 def page_profiles(boxes: DataFrame, col_break_dist: float,
                   row_break_dist: float) -> DataFrame:
     """Fused per-page profile: ONE exchange + ONE Arrow kernel computes,
