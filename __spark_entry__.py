@@ -63,6 +63,12 @@ from pdftabextract_spark.operators.similarity import ANN_K as _ANN_K, hyperplane
 _ANN_DIM = 64
 _ANN_PLANES = _hyperplanes(_ANN_DIM, _ANN_K)
 
+# banded multi-table LSH (q31): table t seeded ANN_SEED + t
+from pdftabextract_spark.operators.similarity import ANN_SEED as _ANN_SEED
+_BANDED_TABLES, _BANDED_BITS = 3, 6
+_BANDED_PLANES = [_hyperplanes(_ANN_DIM, _BANDED_BITS, _ANN_SEED + t)
+                  for t in range(_BANDED_TABLES)]
+
 
 def _q(fn):
     fn._is_query = True
@@ -335,6 +341,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id").cast("long").alias("vec_id"),
                         F.col("component").cast("long").alias("component")))
 
+    def q31_banded_neardup_pairs(spark, sf):
+        # banded multi-table hyperplane LSH blocking (VERDICT r2 item 2):
+        # 3 tables x 6 bits, pair candidates deduped across tables, one
+        # exact cosine score per pair — the recall-hardened scale path
+        # over single-table blocking (q28)
+        from pdftabextract_spark.operators.similarity import (
+            embedding_neardup_pairs_banded)
+        return embedding_neardup_pairs_banded(
+            _load(spark, sf, "embeddings"), dim=_ANN_DIM, threshold=0.3,
+            tables=_BANDED_TABLES, bits_per_table=_BANDED_BITS)
+
     def q30_html_strip(spark, sf):
         # HTML boilerplate-strip baseline: wrap the document text in
         # markup, strip tags + normalize whitespace with portable regexes
@@ -405,6 +422,18 @@ def oracle_sql() -> dict[str, str]:
             f"({c})*CAST(embedding[{i+1}] AS DOUBLE)" for i, c in enumerate(_ANN_PLANES[k]))
         ann_dots.append(f"(CASE WHEN ({coeffs}) > 0 THEN {1 << k} ELSE 0 END)")
     ann_bucket = " + ".join(ann_dots)
+
+    banded_selects = []
+    for t in range(_BANDED_TABLES):
+        dots = []
+        for k in range(_BANDED_BITS):
+            coeffs = " + ".join(
+                f"({c})*v[{i+1}]" for i, c in enumerate(_BANDED_PLANES[t][k]))
+            dots.append(f"(CASE WHEN ({coeffs}) > 0 THEN {1 << k} ELSE 0 END)")
+        banded_selects.append(
+            f"SELECT vec_id, v, {t} AS t, "
+            f"CAST({' + '.join(dots)} AS BIGINT) AS bucket FROM e")
+    banded_buckets = "\n              UNION ALL ".join(banded_selects)
 
     return {
         "q01_break_dist_clusters": """
@@ -731,6 +760,24 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
               FROM b x JOIN b y
                 ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+            WHERE cos >= 0.3
+        """,
+        "q31_banded_neardup_pairs": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            b AS ({banded_buckets}),
+            cand AS (
+              SELECT x.vec_id AS a, y.vec_id AS b, count(*) AS n_tables
+              FROM b x JOIN b y
+                ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+              GROUP BY 1, 2)
+            SELECT a, b, CAST(n_tables AS BIGINT) AS n_tables, cos FROM (
+              SELECT c.a, c.b, c.n_tables,
+                     round(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+              FROM cand c JOIN e ea ON ea.vec_id = c.a
+                          JOIN e eb ON eb.vec_id = c.b) t
             WHERE cos >= 0.3
         """,
         "q29_neardup_components": f"""

