@@ -69,6 +69,43 @@ _BANDED_TABLES, _BANDED_BITS = 3, 6
 _BANDED_PLANES = [_hyperplanes(_ANN_DIM, _BANDED_BITS, _ANN_SEED + t)
                   for t in range(_BANDED_TABLES)]
 
+# q42 image-analytics corpora: (tag, rotation_deg, n_docs). The Spark side
+# runs the real raster path (render -> Canny -> Hough -> classify ->
+# per-page rotation decision); the oracle re-derives direction/deviation/
+# median/decision INDEPENDENTLY in SQL over the deterministic Hough line
+# rows (rho, theta) — computed once per oracle_sql() call by the same
+# numpy kernels the goldens pin (no Spark, ~0.5s).
+_Q42_SPECS = (("r", 1.0, 3), ("f", 0.0, 2))
+_Q42_ROT_THRESH_DEG, _Q42_SAME_DIR_THRESH_DEG = 0.5, 1.0
+
+
+def _q42_params(tag, deg, n_docs):
+    from pdftabextract_spark.sources import synth
+    return synth.CorpusParams(seed=7, n_docs=n_docs, n_cols=4,
+                              with_images=True, rotation_deg=deg,
+                              page_dist=((1, 0.7), (2, 0.3)))
+
+
+def _q42_line_rows():
+    """(prefixed_doc_id, page, rho, theta) Hough rows for both corpora."""
+    from pdftabextract_spark.sources import synth
+    from pdftabextract_spark.kernels import imgproc as K
+    rows = []
+    for tag, deg, n_docs in _Q42_SPECS:
+        params = _q42_params(tag, deg, n_docs)
+        colpos = synth.family_layout(params)
+        for d in range(params.n_docs):
+            doc_id, pages = synth.gen_doc(d, params, colpos)
+            for pg in pages:
+                img = synth.render_page_image(pg, colpos)
+                edges = K.canny_edges(K.grayscale(img))
+                votes = max(int(round(0.2 * img.shape[1])), 2)
+                lines = K.hough_lines(edges, 1.0, np.pi / 500, votes)
+                for rho, theta in ((l[0], l[1]) for l in lines):
+                    rows.append(("%s:%s" % (tag, doc_id), int(pg["page"]),
+                                 float(rho), float(theta)))
+    return rows
+
 
 def _q(fn):
     fn._is_query = True
@@ -385,6 +422,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "</footer></body></html>")).alias("text"))
         return main_content(pages)
 
+    def q42_image_rotation_synth(spark, sf):
+        # image analytics with a SQL oracle (VERDICT r2 item 5): the real
+        # raster path — PNG decode, Canny, Hough, h/v classification,
+        # per-page rotation/skew decision — over two deterministic
+        # synthetic corpora (rotated 1deg -> 'r'; flat -> NULL decision);
+        # the oracle recomputes direction/deviation/median/decision from
+        # the pinned Hough (rho, theta) rows in pure SQL.
+        from pdftabextract_spark.sources import synth
+        from pdftabextract_spark.operators.imgstage import (
+            detect_lines, find_rotation_per_page)
+        out = None
+        for tag, deg, n_docs in _Q42_SPECS:
+            params = _q42_params(tag, deg, n_docs)
+            pages = synth.pages_df(spark, params)
+            media = synth.media_df(spark, params)
+            lines = detect_lines(pages, media)
+            rot, _filtered = find_rotation_per_page(
+                lines, np.deg2rad(_Q42_ROT_THRESH_DEG),
+                np.deg2rad(_Q42_SAME_DIR_THRESH_DEG))
+            counts = lines.groupBy("doc_id", "page").agg(
+                F.sum(F.when(F.col("direction") == "v", 1).otherwise(0))
+                 .alias("n_v"),
+                F.sum(F.when(F.col("direction") == "h", 1).otherwise(0))
+                 .alias("n_h"))
+            part = (rot.join(counts, ["doc_id", "page"])
+                    .select(F.concat(F.lit(tag + ":"), "doc_id").alias("doc_id"),
+                            "page", "rot_type",
+                            F.when(F.isnan("rot_radians"), F.lit(None))
+                             .otherwise(F.round("rot_radians", 6))
+                             .alias("rot_radians"),
+                            "n_v", "n_h"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def q40_extract_cells_synth(spark, sf):
         from pdftabextract_spark.sources import synth
         from pdftabextract_spark.sources.spans import textboxes_from_spans
@@ -434,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, v, {t} AS t, "
             f"CAST({' + '.join(dots)} AS BIGINT) AS bucket FROM e")
     banded_buckets = "\n              UNION ALL ".join(banded_selects)
+
+    q42_values = ",\n              ".join(
+        "('%s', %d, %r, %r)" % r for r in _q42_line_rows())
+    q42_rot = float(np.deg2rad(_Q42_ROT_THRESH_DEG))
+    q42_same = float(np.deg2rad(_Q42_SAME_DIR_THRESH_DEG))
 
     return {
         "q01_break_dist_clusters": """
@@ -810,6 +886,49 @@ def oracle_sql() -> dict[str, str]:
                        || '</p></body></html>',
                      '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')), 1, 80) AS head80
             FROM documents WHERE doc_id < 20
+        """,
+        # rotation decision parity (imgproc.py:189-275): deviation chain,
+        # per-direction exact medians, threshold logic — re-derived in SQL
+        # from the deterministic Hough rows
+        "q42_image_rotation_synth": f"""
+            WITH lines(doc_id, page, rho, theta) AS (VALUES
+              {q42_values}),
+            cl AS (
+              SELECT doc_id, page,
+                     theta - 2*pi()*floor(theta/(2*pi())) AS tn
+              FROM lines),
+            devs AS (
+              SELECT doc_id, page,
+                     CASE WHEN abs(pi()/2 - tn) > pi()/4
+                          THEN 'v' ELSE 'h' END AS dir,
+                     CASE WHEN abs(pi()/2 - tn) > pi()/4
+                          THEN (CASE WHEN tn > pi()/2 THEN tn - pi() ELSE tn END)
+                          ELSE tn - pi()/2 END AS dev
+              FROM cl),
+            med AS (
+              SELECT doc_id, page,
+                     median(CASE WHEN dir = 'h' THEN dev END) AS mh,
+                     median(CASE WHEN dir = 'v' THEN dev END) AS mv,
+                     sum(CASE WHEN dir = 'v' THEN 1 ELSE 0 END) AS n_v,
+                     sum(CASE WHEN dir = 'h' THEN 1 ELSE 0 END) AS n_h
+              FROM devs GROUP BY 1, 2),
+            dec AS (
+              SELECT doc_id, page, mh, mv, n_v, n_h,
+                     (mh IS NOT NULL AND abs(mh) > {q42_rot!r}) AS ha,
+                     (mv IS NOT NULL AND abs(mv) > {q42_rot!r}) AS va
+              FROM med)
+            SELECT doc_id, page,
+                   CASE WHEN ha AND va AND abs(mh - mv) < {q42_same!r} THEN 'r'
+                        WHEN ha AND va THEN NULL
+                        WHEN ha THEN 'sy'
+                        WHEN va THEN 'sx' END AS rot_type,
+                   CASE WHEN ha AND va AND abs(mh - mv) < {q42_same!r}
+                          THEN round((mh + mv) / 2, 6)
+                        WHEN ha AND va THEN NULL
+                        WHEN ha THEN round(mh, 6)
+                        WHEN va THEN round(mv, 6) END AS rot_radians,
+                   CAST(n_v AS BIGINT) AS n_v, CAST(n_h AS BIGINT) AS n_h
+            FROM dec
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.
