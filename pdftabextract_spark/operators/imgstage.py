@@ -65,13 +65,24 @@ def detect_lines(pages: DataFrame, media: DataFrame,
 
 
 def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
-                           omit_on_rot_thresh=None, only_direction=None):
+                           omit_on_rot_thresh=None, only_direction=None,
+                           persist=False):
     """Per-page rotation/skew decision + stray-line filter.
 
     Returns (rotations DF, filtered lines DF). The decision logic is the
     reference's sequential conditional chain (imgproc.py:189-275) — medians
-    per direction feed threshold logic — run in one applyInPandas over the
-    page's lines (tens of rows per page)."""
+    per direction feed threshold logic — run in ONE applyInPandas over the
+    page's lines (tens of rows per page). The kernel emits a HEADER row
+    per page (direction NULL — also the ADVICE-r1 sentinel: the decision
+    is filter-independent, so a page whose lines were all filtered still
+    carries it) plus the filtered line rows; both outputs are then narrow
+    filters over the same frame — no second groupBy exchange for the
+    rotations, and the filtered lines carry rot_type/rot_radians so
+    apply_rotation_to_lines needs no join back to the rotations.
+
+    ``persist`` caches the shared enriched frame (both outputs consume it
+    via separate downstream actions — without this the whole upstream
+    lineage, typically decode+Canny+Hough, would run per consumer)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = pdf.iloc[0]["doc_id"]
@@ -80,14 +91,8 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
         (rs_type, rs_rad), filtered = K.find_rotation_or_skew(
             lh, rot_thresh, rot_same_dir_thresh,
             omit_on_rot_thresh=omit_on_rot_thresh, only_direction=only_direction)
-        if not filtered:
-            # the rotation decision is independent of the stray-line filter
-            # side effect (the reference returns it regardless,
-            # imgproc.py:264-275): when every line was filtered out, still
-            # carry the page's decision on a sentinel row (direction NULL)
-            # so rotate_boxes_back can repair the page's boxes.
-            filtered = [(np.nan, np.nan, np.nan, None)]
-        out = pd.DataFrame(filtered, columns=["rho", "theta", "theta_norm", "direction"])
+        rows = [(np.nan, np.nan, np.nan, None)] + list(filtered)
+        out = pd.DataFrame(rows, columns=["rho", "theta", "theta_norm", "direction"])
         out.insert(0, "doc_id", doc_id)
         out.insert(1, "page", page)
         out["rot_type"] = rs_type
@@ -96,11 +101,12 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
 
     schema = (_LINES_SCHEMA + ", rot_type string, rot_radians double")
     enriched = lines.groupBy("doc_id", "page").applyInPandas(kernel, schema=schema)
-    rotations = (enriched.groupBy("doc_id", "page")
-                 .agg(F.first("rot_type").alias("rot_type"),
-                      F.first("rot_radians").alias("rot_radians")))
-    filtered_lines = enriched.where(F.col("direction").isNotNull()).select(
-        "doc_id", "page", "rho", "theta", "theta_norm", "direction")
+    if persist:
+        from pyspark import StorageLevel
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    rotations = enriched.where(F.col("direction").isNull()).select(
+        "doc_id", "page", "rot_type", "rot_radians")
+    filtered_lines = enriched.where(F.col("direction").isNotNull())
     return rotations, filtered_lines
 
 

@@ -76,18 +76,16 @@ def catalogue_column_positions(boxes: DataFrame, pages: DataFrame,
 
     Returns (col_positions DF (doc_id, page, col_positions array<double>),
     boxes_fixed DF)."""
-    # the Canny+Hough kernel is the expensive stage; persist its (tiny)
-    # line rows and materialize NOW so every downstream action (model-fit
-    # collect, rotation join, centers, assignment) reuses one image pass
-    lines = detect_lines(pages, media, edge_method="canny").persist()
-    lines.count()
+    # the Canny+Hough kernel is the expensive stage; persist the rotation
+    # kernel's enriched output (tiny line rows) so every downstream action
+    # (model-fit collect, rotation join, centers, assignment) reuses one
+    # image pass, and the filtered lines already carry the decision
+    lines = detect_lines(pages, media, edge_method="canny")
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(0.5), math.radians(1.0),
-        omit_on_rot_thresh=math.radians(0.5))
-    rotations = rotations.persist()
+        omit_on_rot_thresh=math.radians(0.5), persist=True)
     boxes_fixed = rotate_boxes_back(boxes, rotations)
-    lines_fixed = apply_rotation_to_lines(
-        filtered.join(rotations, ["doc_id", "page"], "left"))
+    lines_fixed = apply_rotation_to_lines(filtered)
 
     centers = line_border_centers(lines_fixed, pages, "v", min_col_width / 2)
     scaling = pages.select(

@@ -229,33 +229,31 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
 
     boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
     lines = detect_lines(pages, media)
-    if persist:
-        from pyspark import StorageLevel
-        # materialize the Hough output ONCE: rotations and filtered both
-        # consume it via separate actions, which would otherwise decode +
-        # Canny + Hough every image twice
-        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
-        lines.count()
+    # one pass decodes + Hough-transforms each image and decides the
+    # page rotation; persisting the kernel OUTPUT (not the raw lines)
+    # means the decode runs exactly once across all downstream actions
+    # and the rotations/filtered split is two narrow filters, not a
+    # second exchange
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
-        omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg))
-    if persist:
-        from pyspark import StorageLevel
-        rotations = rotations.persist(StorageLevel.MEMORY_AND_DISK)
-        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+        omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg),
+        persist=persist)
 
     boxes_fixed = rotate_boxes_back(boxes, rotations)
     if persist:
         from pyspark import StorageLevel
         boxes_fixed = boxes_fixed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    lines_fixed = apply_rotation_to_lines(
-        filtered.join(rotations, ["doc_id", "page"], "left"))
+    lines_fixed = apply_rotation_to_lines(filtered)
 
     # column borders straight from vertical line clusters (model-repaired);
     # the model size is n_cols + 1 borders (N_COL_BORDERS semantics,
     # catalog_30s.py:46,161-166)
     centers = line_border_centers(lines_fixed, pages, "v", params.col_break_dist)
+    if persist:
+        from pyspark import StorageLevel
+        # consumed twice: the model-fit probe action and the repair join
+        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
     repaired = fit_and_repair(
         centers, params.n_cols + 1, params.model_break_dist,
         same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)

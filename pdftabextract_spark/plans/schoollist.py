@@ -126,15 +126,12 @@ def schoollist_row_line_centers(boxes: DataFrame, pages: DataFrame,
     lines) -> horizontal cluster centers with empty-section removal.
 
     Returns (centers (doc_id,page,cluster_id,center,n), boxes_fixed)."""
-    lines = detect_lines(pages, media).persist()
-    lines.count()
+    lines = detect_lines(pages, media)
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(0.5), math.radians(1.0),
-        omit_on_rot_thresh=math.radians(0.5))
-    rotations = rotations.persist()
+        omit_on_rot_thresh=math.radians(0.5), persist=True)
     boxes_fixed = rotate_boxes_back(boxes, rotations, force_rotation=True)
-    lines_fixed = apply_rotation_to_lines(
-        filtered.join(rotations, ["doc_id", "page"], "left"))
+    lines_fixed = apply_rotation_to_lines(filtered)
 
     centers = line_border_centers(lines_fixed, pages, "h", min_row_height / 2)
     scaling = pages.select(
@@ -335,15 +332,13 @@ def schoollist2_row_line_centers(boxes: DataFrame, pages: DataFrame,
     HORIZONTAL lines -> always-rotate box repair -> horizontal cluster
     centers at dist HEADER_ROW_HEIGHT/2, NO empty-section removal (the
     clusters only locate the table header)."""
-    lines = detect_lines(pages, media).persist()
-    lines.count()
+    lines = detect_lines(pages, media)
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(0.5), math.radians(1.0),
-        omit_on_rot_thresh=math.radians(0.5), only_direction="h")
-    rotations = rotations.persist()
+        omit_on_rot_thresh=math.radians(0.5), only_direction="h",
+        persist=True)
     boxes_fixed = rotate_boxes_back(boxes, rotations, force_rotation=True)
-    lines_fixed = apply_rotation_to_lines(
-        filtered.join(rotations, ["doc_id", "page"], "left"))
+    lines_fixed = apply_rotation_to_lines(filtered)
     centers = line_border_centers(lines_fixed, pages, "h",
                                   header_row_height / 2)
     return centers, boxes_fixed
