@@ -58,28 +58,61 @@ def break_dist_cluster_ids(vals, dist_thresh):
 
 
 def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"):
-    """Hierarchical clustering of 1-D values (scipy is unavailable; this is
-    a native implementation of the case the reference exercises).
+    """Hierarchical agglomerative clustering of 1-D values (scipy is
+    unavailable; native implementation of the fclusterdata surface the
+    reference forwards kwargs to — clustering.py:58-72).
 
-    For 1-D data, single-linkage flat clustering with the 'distance'
-    criterion is exactly: merge adjacent sorted values while the gap is
-    <= t (cophenetic distance of a single-linkage chain is the max gap).
-    Reference behavior: clustering.py:58-72 (fclusterdata + np.unique
-    relabel). Cluster ordering follows ascending value, matching the
-    np.unique(ind) relabel for 1-D sorted data.
+    ``method``: 'single' | 'complete' | 'average';
+    ``criterion``: 'distance' (flat clusters at cophenetic distance <= t)
+    | 'maxclust' (merge until at most t clusters).
+
+    For 1-D data every agglomerative merge under these linkages joins
+    ADJACENT sorted intervals (for intervals A < B < C:
+    single dist(A,C) = minC - maxA > minB - maxA; complete uses the span
+    maxC - minA > maxB - minA; average reduces to the centroid gap
+    meanC - meanA > meanB - meanA), so clusters stay contiguous in value
+    order and the greedy merge runs over adjacent-pair distances only.
+    single+distance short-circuits to the exact gap-split form (the
+    cophenetic distance of a single-linkage chain is its max gap).
+    Property-tested against a brute-force full-matrix agglomerative
+    oracle (tests/test_kernels_clustering.py). Cluster ordering follows
+    ascending value, matching the np.unique(ind) relabel for 1-D data;
+    ties merge the leftmost minimal pair.
     """
-    if method != "single" or criterion != "distance":
-        raise NotImplementedError(
-            "only method='single', criterion='distance' hierarchical "
-            "clustering is supported natively (scipy not available)")
     vals = np.asarray(vals, dtype=float)
     n = len(vals)
     if n == 0:
         return []
+    if method not in ("single", "complete", "average"):
+        raise NotImplementedError("unsupported linkage method %r" % method)
+    if criterion not in ("distance", "maxclust"):
+        raise NotImplementedError("unsupported criterion %r" % criterion)
     order = np.argsort(vals, kind="stable")
     svals = vals[order]
-    breaks = np.flatnonzero(np.diff(svals) > t) + 1  # strict >: gap<=t merges
-    return [np.sort(chunk) for chunk in np.split(order, breaks)]
+
+    if method == "single" and criterion == "distance":
+        breaks = np.flatnonzero(np.diff(svals) > t) + 1  # strict >: gap<=t merges
+        return [np.sort(chunk) for chunk in np.split(order, breaks)]
+
+    bounds = [(i, i + 1) for i in range(n)]  # [start, end) runs over svals
+
+    def dist(a, b):
+        if method == "single":
+            return svals[b[0]] - svals[a[1] - 1]
+        if method == "complete":
+            return svals[b[1] - 1] - svals[a[0]]
+        return float(svals[b[0]:b[1]].mean() - svals[a[0]:a[1]].mean())
+
+    while len(bounds) > 1:
+        if criterion == "maxclust" and len(bounds) <= t:
+            break
+        dists = [dist(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+        i = int(np.argmin(dists))  # leftmost minimal pair on ties
+        if criterion == "distance" and dists[i] > t:
+            break
+        bounds[i] = (bounds[i][0], bounds[i + 1][1])
+        del bounds[i + 1]
+    return [np.sort(order[s:e]) for s, e in bounds]
 
 
 def zip_clusters_and_values(clusters, values):

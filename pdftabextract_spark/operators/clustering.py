@@ -78,10 +78,13 @@ def cluster_centers_pluggable(df: DataFrame, value_col: str, group_cols,
         from ..kernels.clustering import (
             find_clusters_1d_hierarchical, zip_clusters_and_values)
         t = float(method_kwargs["t"])
+        linkage = method_kwargs.get("linkage", "single")
+        criterion = method_kwargs.get("criterion", "distance")
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
             vals = pdf[value_col].to_numpy(dtype=float)
-            clusters = find_clusters_1d_hierarchical(vals, t)
+            clusters = find_clusters_1d_hierarchical(
+                vals, t, method=linkage, criterion=criterion)
             rows = []
             for cid, (ind, cv) in enumerate(
                     zip_clusters_and_values(clusters, vals)):

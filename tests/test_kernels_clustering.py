@@ -78,6 +78,77 @@ def test_hierarchical_single_linkage(seq, t):
                 assert max(np.diff(v)) <= t
 
 
+def _brute_agglomerative(vals, t, method, criterion):
+    """Full-matrix agglomerative oracle: no 1-D contiguity assumption —
+    clusters are index SETS, linkage distances computed pairwise over all
+    cluster pairs, leftmost (by min value) minimal pair merged each
+    round. Verifies both the linkage math and the adjacent-merge claim."""
+    vals = np.asarray(vals, dtype=float)
+    clusters = [[i] for i in np.argsort(vals, kind="stable")]
+
+    def d(a, b):
+        pair = np.abs(vals[a][:, None] - vals[b][None, :])
+        if method == "single":
+            return pair.min()
+        if method == "complete":
+            return pair.max()
+        return pair.mean()
+
+    while len(clusters) > 1:
+        if criterion == "maxclust" and len(clusters) <= t:
+            break
+        best, bi, bj = None, None, None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                dd = d(np.array(clusters[i]), np.array(clusters[j]))
+                key = (dd, min(vals[clusters[i]].min(), vals[clusters[j]].min()))
+                if best is None or key < best:
+                    best, bi, bj = key, i, j
+        if criterion == "distance" and best[0] > t:
+            break
+        clusters[bi] = clusters[bi] + clusters[bj]
+        del clusters[bj]
+    out = [np.sort(np.array(c)) for c in clusters]
+    out.sort(key=lambda c: vals[c].min())
+    return out
+
+
+@pytest.mark.parametrize("method", ["single", "complete", "average"])
+@pytest.mark.parametrize("criterion", ["distance", "maxclust"])
+def test_hierarchical_linkages_match_bruteforce_oracle(method, criterion):
+    rng = np.random.RandomState(17)
+    for trial in range(25):
+        n = rng.randint(1, 16)
+        vals = np.round(rng.rand(n) * 100, 1)
+        if criterion == "distance":
+            t = float(rng.rand() * 40)
+        else:
+            t = int(rng.randint(1, n + 1))
+        got = find_clusters_1d_hierarchical(vals, t, method=method,
+                                            criterion=criterion)
+        want = _brute_agglomerative(vals, t, method, criterion)
+        assert [list(c) for c in got] == [list(c) for c in want], (
+            method, criterion, vals.tolist(), t)
+
+
+def test_hierarchical_linkage_hand_case():
+    # complete linkage splits what single linkage chains: 0,1,2 chain
+    vals = np.array([0.0, 1.0, 2.0, 10.0])
+    single = find_clusters_1d_hierarchical(vals, 1.0, method="single")
+    assert [list(c) for c in single] == [[0, 1, 2], [3]]
+    complete = find_clusters_1d_hierarchical(vals, 1.0, method="complete")
+    assert [list(c) for c in complete] == [[0, 1], [2], [3]]
+    # maxclust forces exactly k clusters regardless of gaps
+    mc = find_clusters_1d_hierarchical(vals, 2, method="average",
+                                       criterion="maxclust")
+    assert [list(c) for c in mc] == [[0, 1, 2], [3]]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        find_clusters_1d_hierarchical(vals, 1.0, method="ward")
+    with _pt.raises(NotImplementedError):
+        find_clusters_1d_hierarchical(vals, 1.0, criterion="inconsistent")
+
+
 @given(st.lists(ints), ints)
 def test_zip_clusters_and_values(seq, delta):
     arr = np.array(seq)
