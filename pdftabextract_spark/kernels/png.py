@@ -83,14 +83,29 @@ def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (H,W) or (H,W,3)."""
+    """PNG bytes -> uint8 array (H,W) gray or (H,W,3) RGB.
+
+    Supported: grayscale (color type 0) at bit depth 1/2/4/8, RGB (2) at
+    8, palette (3) at 1/2/4/8, gray+alpha (4) and RGBA (6) at 8 — alpha
+    is dropped (cv2.imread IMREAD_COLOR parity, the reference's loader).
+    Interlaced and 16-bit stay unsupported (pdftohtml/scan tooling never
+    emits them). Sub-byte rows are unfiltered at the byte level (PNG
+    filters operate on bytes with bpp=1 below 8 bits) then bit-unpacked;
+    grayscale samples scale to 8 bits by 255/(2^d - 1) (exact integers).
+    The reference's own example data needs this: its page scans include
+    1-bit PNGs (e.g. schoolinspections samplepage.png,
+    catalogue ALA1934_RR-excerpt.pdf-000.png)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
-    color_type = None
+    depth = color_type = None
     idat = b""
+    palette = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
@@ -98,17 +113,51 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or interlace != 0 or color_type not in (0, 2):
+            if interlace != 0 or color_type not in _CHANNELS:
                 raise ValueError("unsupported PNG variant")
+            if color_type in (2, 4, 6) and depth != 8:
+                raise ValueError("unsupported PNG variant")
+            if color_type in (0, 3) and depth not in (1, 2, 4, 8):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    channels = 1 if color_type == 0 else 3
-    stride = w * channels
+    channels = _CHANNELS[color_type]
+    if depth == 8:
+        stride, bpp = w * channels, channels
+    else:
+        stride, bpp = (w * depth + 7) // 8, 1
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    px = _unfilter(raw, h, stride, channels)
-    return px.reshape(h, w) if channels == 1 else px.reshape(h, w, 3)
+    px = _unfilter(raw, h, stride, bpp)
+
+    if depth < 8:
+        bits = np.unpackbits(px, axis=1)[:, :w * depth]
+        if depth == 1:
+            idx = bits
+        else:
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if color_type == 0:
+            return (idx * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE")
+        return palette[idx.astype(np.int64)]
+
+    arr = px.reshape(h, w, channels)
+    if color_type == 0:
+        return arr[:, :, 0]
+    if color_type == 2:
+        return arr
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE")
+        return palette[arr[:, :, 0].astype(np.int64)]
+    if color_type == 4:
+        return arr[:, :, 0]
+    return arr[:, :, :3].copy()
 
 
 def get_image_size(head24: bytes):
