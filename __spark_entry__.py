@@ -389,6 +389,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf, "embeddings"), dim=_ANN_DIM, threshold=0.3,
             tables=_BANDED_TABLES, bits_per_table=_BANDED_BITS)
 
+    def q32_kmeans_centroids(spark, sf):
+        # deterministic Lloyd k-means (the trained IVF coarse quantizer):
+        # broadcast-centroid argmax-cosine assignment + per-list
+        # elementwise means, 2 iterations, empty lists keep their
+        # centroid; oracle = the same iterations unrolled in SQL
+        from pdftabextract_spark.operators.similarity import kmeans_fit
+        c = kmeans_fit(_load(spark, sf, "embeddings"), k=4, iters=2)
+        return (c.select("list_id", F.posexplode("centroid").alias("i", "m"))
+                .select("list_id", F.col("i").cast("long").alias("i"),
+                        F.round("m", 6).alias("m")))
+
     def q30_html_strip(spark, sf):
         # HTML boilerplate-strip baseline: wrap the document text in
         # markup, strip tags + normalize whitespace with portable regexes
@@ -510,6 +521,29 @@ def oracle_sql() -> dict[str, str]:
         "('%s', %d, %r, %r)" % r for r in _q42_line_rows())
     q42_rot = float(np.deg2rad(_Q42_ROT_THRESH_DEG))
     q42_same = float(np.deg2rad(_Q42_SAME_DIR_THRESH_DEG))
+
+    # q32: unrolled Lloyd iterations (k=4, 2 iters, dim=_ANN_DIM)
+    km_cos = ("list_dot_product(c.cv, e.v) / (sqrt(list_dot_product(c.cv, c.cv))"
+              " * sqrt(list_dot_product(e.v, e.v)))")
+    km_means = ", ".join(f"avg(v[{i+1}])" for i in range(_ANN_DIM))
+    km_iters = []
+    prev = "c0"
+    for it in (1, 2):
+        km_iters.append(f"""
+            a{it} AS (
+              SELECT vec_id, v, list_id FROM (
+                SELECT e.vec_id, e.v, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {km_cos} DESC, c.list_id ASC) AS rk
+                FROM e CROSS JOIN {prev} c) t
+              WHERE rk = 1),
+            m{it} AS (SELECT list_id, [{km_means}] AS ncv
+                      FROM a{it} GROUP BY list_id),
+            c{it} AS (SELECT {prev}.list_id,
+                             COALESCE(m{it}.ncv, {prev}.cv) AS cv
+                      FROM {prev} LEFT JOIN m{it} USING (list_id))""")
+        prev = f"c{it}"
+    km_body = ",".join(km_iters)
 
     return {
         "q01_break_dist_clusters": """
@@ -837,6 +871,14 @@ def oracle_sql() -> dict[str, str]:
               FROM b x JOIN b y
                 ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
             WHERE cos >= 0.3
+        """,
+        "q32_kmeans_centroids": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT CAST(vec_id AS BIGINT) AS list_id, v AS cv
+                   FROM e WHERE vec_id < 4),{km_body}
+            SELECT list_id, CAST(i - 1 AS BIGINT) AS i, round(cv[i], 6) AS m
+            FROM {prev}, UNNEST(range(1, {_ANN_DIM + 1})) AS t(i)
         """,
         "q31_banded_neardup_pairs": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

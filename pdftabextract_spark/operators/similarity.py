@@ -117,21 +117,67 @@ IVF_NLIST = 16
 IVF_NPROBE = 2
 
 
-def ivf_assign(embeddings: DataFrame, nlist: int = IVF_NLIST,
+def kmeans_fit(embeddings: DataFrame, k: int = IVF_NLIST, iters: int = 2,
                id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """Deterministic Lloyd iterations producing the IVF coarse-quantizer
+    centroids — the trained replacement for the first-k-vectors
+    quantizer. Fully relational and reproducible:
+
+    * init: the first ``k`` vectors by id (deterministic seed);
+    * assignment: argmax cosine against the BROADCAST centroid table
+      (ties -> lowest list id) — map-only, no shuffle on the corpus;
+    * update: per-list elementwise mean via posexplode + groupBy
+      (map-side partial aggregation; k x dim result), empty lists keep
+      their previous centroid.
+
+    Returns (list_id, centroid array<double>), k rows — broadcast-sized
+    at any corpus scale. Every step is JVM expressions; the oracle SQL
+    (q32) unrolls the same iterations independently in DuckDB."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("list_id"),
+        F.col("v").alias("cv"))
+    for _ in range(iters):
+        j = e.join(F.broadcast(cents))
+        cos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
+        w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(),
+                                            F.col("list_id").asc())
+        memb = (j.select("vec_id", "v", "list_id", cos.alias("_cos"))
+                 .withColumn("_rk", F.row_number().over(w))
+                 .where(F.col("_rk") == 1))
+        dims = (memb.select("list_id", F.posexplode("v").alias("i", "x"))
+                .groupBy("list_id", "i").agg(F.avg("x").alias("m")))
+        newc = (dims.groupBy("list_id")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_s"))
+                .select("list_id",
+                        F.transform("_s", lambda s: s["m"]).alias("ncv")))
+        cents = (cents.join(newc, "list_id", "left")
+                 .select("list_id",
+                         F.coalesce(F.col("ncv"), F.col("cv")).alias("cv")))
+    return cents.select("list_id", F.col("cv").alias("centroid"))
+
+
+def ivf_assign(embeddings: DataFrame, nlist: int = IVF_NLIST,
+               id_col="vec_id", vec_col="embedding",
+               centroids: DataFrame = None) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid list (argmax cosine; ties -> lowest list id).
 
-    The "trained" centroids are the first ``nlist`` vectors by id — a
+    Default centroids are the first ``nlist`` vectors by id — a
     deterministic quantizer both engines (and the SQL oracle) can
-    reproduce; on a real corpus they'd come from a k-means fit, which
-    only changes how the centroid table is produced, not this operator.
-    The centroid table is broadcast (nlist x dim doubles), so assignment
-    is a map-only stage — no shuffle at any corpus size."""
+    reproduce; pass ``centroids`` (list_id, centroid) from
+    :func:`kmeans_fit` for the trained quantizer — only how the centroid
+    table is produced changes, not this operator. The centroid table is
+    broadcast (nlist x dim doubles), so assignment is a map-only stage —
+    no shuffle at any corpus size."""
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
-    cents = e.where(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
+    if centroids is not None:
+        cents = centroids.select("list_id", F.col("centroid").alias("cv"))
+    else:
+        cents = e.where(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
     j = e.join(F.broadcast(cents))
     cos = _dot(F.col("cv"), F.col("v")) / (_norm(F.col("cv")) * _norm(F.col("v")))
     w = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("list_id").asc())

@@ -247,6 +247,48 @@ def test_embedding_neardup_banded_scores_once_and_exact(skew_emb):
     assert all(r["n_tables"] == 3 and r["cos"] == 1.0 for r in hot)
 
 
+def test_kmeans_fit_recovers_directions_and_trains_ivf(spark):
+    """Two well-separated direction clusters: the converged centroid set
+    covers both true directions, and ivf_assign with the TRAINED
+    centroids puts every vector in a list whose centroid matches its
+    true direction."""
+    rng = np.random.default_rng(23)
+    a, b = np.zeros(8), np.zeros(8)
+    a[0] = 1.0
+    b[1] = 1.0
+    rows = [(i, ((a if i % 2 == 0 else b)
+                 + rng.standard_normal(8) * 0.01).tolist())
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    trained = S.kmeans_fit(emb, k=2, iters=3)
+    cents = {r["list_id"]: np.array(r["centroid"])
+             for r in trained.collect()}
+    assert sorted(cents) == [0, 1]
+    unit = {lid: c / np.linalg.norm(c) for lid, c in cents.items()}
+    for true in (a, b):
+        assert max(float(u @ true) for u in unit.values()) > 0.99
+    got = {r["vec_id"]: r["list_id"]
+           for r in S.ivf_assign(emb, centroids=trained).collect()}
+    for i, vec in rows:
+        true = a if i % 2 == 0 else b
+        assert float(unit[got[i]] @ true) > 0.99, (i, got[i])
+
+
+def test_kmeans_fit_empty_list_keeps_centroid(spark):
+    """An init centroid duplicating an earlier vector starves (cosine
+    ties resolve to the lowest list id), and the starved list keeps its
+    init centroid through every iteration."""
+    va = [1.0, 0.0, 0.0, 0.0]
+    vb = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, va), (1, vb), (2, va)] + \
+           [(i, va if i % 2 == 0 else vb) for i in range(3, 12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r["list_id"]: list(r["centroid"])
+             for r in S.kmeans_fit(emb, k=3, iters=3).collect()}
+    assert cents[0] == va and cents[1] == vb
+    assert cents[2] == va  # starved: kept its (duplicate) init centroid
+
+
 def test_neardup_components_chain_and_cliques(spark):
     from pdftabextract_spark.operators.dedup import neardup_components
     # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
