@@ -133,6 +133,7 @@ def kmeans_fit(embeddings: DataFrame, k: int = IVF_NLIST, iters: int = 2,
     Returns (list_id, centroid array<double>), k rows — broadcast-sized
     at any corpus scale. Every step is JVM expressions; the oracle SQL
     (q32) unrolls the same iterations independently in DuckDB."""
+    spark = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
     cents = e.where(F.col("vec_id") < k).select(
@@ -155,6 +156,12 @@ def kmeans_fit(embeddings: DataFrame, k: int = IVF_NLIST, iters: int = 2,
         cents = (cents.join(newc, "list_id", "left")
                  .select("list_id",
                          F.coalesce(F.col("ncv"), F.col("cv")).alias("cv")))
+        # materialize the k x dim centroid table each round (tiny,
+        # broadcast-sized): with lazy lineage, iteration i's plan would
+        # re-run every earlier iteration's corpus-wide assignment —
+        # O(iters^2) passes over the embeddings instead of O(iters)
+        cents = spark.createDataFrame(
+            cents.collect(), "list_id long, cv array<double>")
     return cents.select("list_id", F.col("cv").alias("centroid"))
 
 
