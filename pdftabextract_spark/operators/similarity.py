@@ -72,6 +72,16 @@ def hyperplanes(dim: int, k: int = ANN_K, seed: int = ANN_SEED):
     return np.where(rng.rand(k, dim) < 0.5, -1.0, 1.0).tolist()
 
 
+def _bucket_expr(planes, vcol):
+    """Sign-bit bucket expression for one plane table over column vcol."""
+    bucket = None
+    for i, plane_coeffs in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in plane_coeffs])
+        bit = F.when(_dot(plane, vcol) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def lsh_bucket(embeddings: DataFrame, dim: int, k: int = ANN_K,
                seed: int = ANN_SEED, id_col="vec_id",
                vec_col="embedding") -> DataFrame:
@@ -83,12 +93,7 @@ def lsh_bucket(embeddings: DataFrame, dim: int, k: int = ANN_K,
     planes = hyperplanes(dim, k, seed)
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
-    bucket = None
-    for i in range(k):
-        plane = F.array(*[F.lit(c) for c in planes[i]])
-        bit = F.when(_dot(plane, F.col("v")) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return e.select("vec_id", "v", bucket.cast("long").alias("bucket"))
+    return e.select("vec_id", "v", _bucket_expr(planes, F.col("v")).alias("bucket"))
 
 
 def ann_topk(embeddings: DataFrame, query_ids, dim: int, k=5,
@@ -256,14 +261,18 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int,
     the single-table bucketing). A pair is a candidate if it collides in
     ANY table — recall for high-cosine neighbors improves as
     1-(1-p^r)^b per the classic banding analysis, while fewer bits per
-    table keep buckets small. Returns (vec_id, v, t, bucket)."""
-    out = None
-    for t in range(tables):
-        b = lsh_bucket(embeddings, dim, bits_per_table, seed + t,
-                       id_col=id_col, vec_col=vec_col)
-        part = b.select("vec_id", "v", F.lit(t).cast("int").alias("t"), "bucket")
-        out = part if out is None else out.unionByName(part)
-    return out
+    table keep buckets small. Returns (vec_id, v, t, bucket).
+
+    All tables' buckets come from ONE projection (posexplode over an
+    array of bucket expressions) — a per-table union would scan the
+    corpus ``tables`` times; at 100 TB every extra scan is a full read."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          _as_double(F.col(vec_col)).alias("v"))
+    exprs = [_bucket_expr(hyperplanes(dim, bits_per_table, seed + t),
+                          F.col("v"))
+             for t in range(tables)]
+    return e.select("vec_id", "v",
+                    F.posexplode(F.array(*exprs)).alias("t", "bucket"))
 
 
 def banded_candidate_pairs(embeddings: DataFrame, dim: int,
