@@ -59,17 +59,20 @@ def fit_column_model_pooled(pooled: DataFrame, n_required_clusters: int,
     where per-page centers arrive as sorted arrays and normalization is a
     JVM transform (center - centers[0]) instead of a window min.
 
-    A ``limit(max_driver_pool + 1)`` probe picks the path in ONE action:
-    when the probe comes back with <= max_driver_pool rows it IS the
-    complete pool (limit dropped nothing) and the exact numpy kernels run
-    on it; otherwise the probe is discarded and nothing large ever
-    reaches the driver — the distributed fit reduces the corpus to
-    O(clusters) ``(median, n)`` rows first. Both paths produce the
-    identical model (pinned by tests/test_model_fit_distributed.py)."""
+    A parallel ``count()`` picks the path: at or below max_driver_pool
+    the exact numpy kernels run on the collected values (the count also
+    warms any persisted upstream, so the collect is a cache read);
+    above it nothing large ever reaches the driver — the distributed fit
+    reduces the corpus to O(clusters) ``(median, n)`` rows first. Both
+    paths produce the identical model (pinned by
+    tests/test_model_fit_distributed.py). Do NOT replace the count with
+    a ``limit(N+1)`` probe: CollectLimit executes incremental scale-up
+    rounds that re-pay the upstream shuffle map side — measured 3-10x
+    slower than count+collect on the extraction pipeline (BENCH r3 A/B).
+    """
     limit = MAX_DRIVER_POOL if max_driver_pool is None else max_driver_pool
-    probe = pooled.limit(limit + 1).toPandas()
-    if len(probe) <= limit:
-        arrow = probe["center_norm"].to_numpy(dtype=float)
+    if pooled.count() <= limit:
+        arrow = pooled.toPandas()["center_norm"].to_numpy(dtype=float)
         cluster_ind = find_clusters_1d_break_dist(arrow, dist_thresh)
         clusters_w_vals = zip_clusters_and_values(cluster_ind, arrow)
         # order clusters by ascending value like the distributed cids
