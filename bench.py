@@ -62,13 +62,13 @@ def bench_extract(spark, n_docs):
                           min_col_width=params.min_col_width,
                           min_row_height=params.min_row_height)
     span_docs = spark.read.parquet(path)
-    # best-of-3 against hypervisor noise (measured wall-clock swings up to
-    # 3x between adjacent reps on this VM); clear the persisted-plan cache
-    # between reps so each rep measures the FULL pipeline (Spark's cache
-    # manager matches identical plans, which would turn rep 2 into a
-    # warm-cache read otherwise)
+    # best-of-4 against hypervisor noise (measured wall-clock swings up to
+    # 3x between adjacent reps on this VM, and entire best-of windows can
+    # land slow); clear the persisted-plan cache between reps so each rep
+    # measures the FULL pipeline (Spark's cache manager matches identical
+    # plans, which would turn rep 2 into a warm-cache read otherwise)
     best, n_spans = None, 0
-    for _ in range(3):
+    for _ in range(4):
         spark.catalog.clearCache()
         t0 = time.time()
         out = extract_from_span_table(span_docs, pipe)
@@ -116,7 +116,7 @@ def bench_image_extract(spark, n_docs=200):
                           min_col_width=params.min_col_width,
                           min_row_height=params.min_row_height)
     best, n_cells = None, 0
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.time()
         n_cells = extract_cells_image_path(boxes, pages, media, pipe).count()
