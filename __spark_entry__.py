@@ -57,7 +57,9 @@ _PORTABLE_HASH_DUCK = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 # minhash / LSH parameters shared between the Spark operators
 # (pdftabextract_spark.operators.dedup / .similarity) and the oracle SQL
-from pdftabextract_spark.operators.dedup import MINHASH_P as _MH_P, MINHASH_AB as _MH_AB
+from pdftabextract_spark.operators.dedup import (
+    MINHASH_P as _MH_P, MINHASH_AB as _MH_AB,
+    MAX_SHINGLE_DF_DEFAULT as _MAX_SHINGLE_DF)
 from pdftabextract_spark.operators.similarity import ANN_K as _ANN_K, hyperplanes as _hyperplanes
 
 _ANN_DIM = 64
@@ -449,10 +451,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages = synth.pages_df(spark, params)
             media = synth.media_df(spark, params)
             lines = detect_lines(pages, media)
-            rot, _filtered = find_rotation_per_page(
+            # persist=True + counting the enriched frame: rot and counts
+            # are two subtrees over one persisted pass (no omit filter is
+            # set, so the enriched line rows ARE the classified lines) —
+            # otherwise the raster kernel would run once per subtree
+            rot, filtered = find_rotation_per_page(
                 lines, np.deg2rad(_Q42_ROT_THRESH_DEG),
-                np.deg2rad(_Q42_SAME_DIR_THRESH_DEG))
-            counts = lines.groupBy("doc_id", "page").agg(
+                np.deg2rad(_Q42_SAME_DIR_THRESH_DEG), persist=True)
+            counts = filtered.groupBy("doc_id", "page").agg(
                 F.sum(F.when(F.col("direction") == "v", 1).otherwise(0))
                  .alias("n_v"),
                 F.sum(F.when(F.col("direction") == "h", 1).otherwise(0))
@@ -714,12 +720,20 @@ def oracle_sql() -> dict[str, str]:
                         WHERE w <> '') s
                   GROUP BY doc_id) agg
         """,
-        "q18_ngram_jaccard": """
+        # stop-shingle cap mirrored from the Spark default (operators/
+        # dedup.MAX_SHINGLE_DF_DEFAULT): shingles in more than that many
+        # docs are dropped BEFORE sizes and the pair join, exactly like
+        # the operator — keeps the oracle exact at ANY scale factor, not
+        # just where the cap is inactive
+        "q18_ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
                        WHERE len(string_split(text, ' ')) >= 3),
-            sh AS (SELECT DISTINCT doc_id,
-                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            sh0 AS (SELECT DISTINCT doc_id,
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                    FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (
+                     SELECT s FROM sh0 GROUP BY s
+                     HAVING count(*) > {_MAX_SHINGLE_DF})),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
             pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

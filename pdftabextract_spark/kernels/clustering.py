@@ -103,15 +103,24 @@ def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"
             return svals[b[1] - 1] - svals[a[0]]
         return float(svals[b[0]:b[1]].mean() - svals[a[0]:a[1]].mean())
 
+    # adjacent-pair distances maintained incrementally: a merge only
+    # changes the two distances touching the merged interval (others
+    # depend solely on their own unchanged intervals), so the loop does
+    # O(1) dist() calls per merge instead of rebuilding the whole list
+    dists = [dist(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
     while len(bounds) > 1:
         if criterion == "maxclust" and len(bounds) <= t:
             break
-        dists = [dist(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
         i = int(np.argmin(dists))  # leftmost minimal pair on ties
         if criterion == "distance" and dists[i] > t:
             break
         bounds[i] = (bounds[i][0], bounds[i + 1][1])
         del bounds[i + 1]
+        del dists[i]
+        if i > 0:
+            dists[i - 1] = dist(bounds[i - 1], bounds[i])
+        if i < len(bounds) - 1:
+            dists[i] = dist(bounds[i], bounds[i + 1])
     return [np.sort(order[s:e]) for s, e in bounds]
 
 

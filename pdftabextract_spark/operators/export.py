@@ -27,7 +27,11 @@ def cells_to_wide(cells: DataFrame) -> DataFrame:
     stays long-form — SURVEY §1.5). The ``collect()`` here is a 1-value
     scalar action (max col count) needed to name the pivot columns —
     export-only, never on the analytics hot path."""
-    n_cols = cells.agg(F.max("col_idx")).collect()[0][0] + 1
+    max_col = cells.agg(F.max("col_idx")).collect()[0][0]
+    if max_col is None:  # zero cells: empty wide frame, key columns only
+        return (cells.select("doc_id", "page", "row_idx")
+                .withColumn("from_page", F.col("page")))
+    n_cols = max_col + 1
     names = [col_name(i, n_cols) for i in range(n_cols)]
     wide = (cells.groupBy("doc_id", "page", "row_idx")
             .pivot("col_idx", list(range(n_cols)))

@@ -71,21 +71,29 @@ def fit_column_model_pooled(pooled: DataFrame, n_required_clusters: int,
     slower than count+collect on the extraction pipeline (BENCH r3 A/B).
     """
     limit = MAX_DRIVER_POOL if max_driver_pool is None else max_driver_pool
-    if pooled.count() <= limit:
-        arrow = pooled.toPandas()["center_norm"].to_numpy(dtype=float)
-        cluster_ind = find_clusters_1d_break_dist(arrow, dist_thresh)
-        clusters_w_vals = zip_clusters_and_values(cluster_ind, arrow)
-        # order clusters by ascending value like the distributed cids
-        clusters_w_vals.sort(key=lambda cw: cw[1].min())
-        model, _ = fit_center_model(clusters_w_vals, n_required_clusters)
-        return model
+    # persist across the two driver-path actions (count + collect) — and
+    # the distributed path's own passes — so an unpersisted upstream
+    # lineage (e.g. the catalogue's line-midpoint kernel) runs once here
+    from pyspark import StorageLevel
+    pooled = pooled.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if pooled.count() <= limit:
+            arrow = pooled.toPandas()["center_norm"].to_numpy(dtype=float)
+            cluster_ind = find_clusters_1d_break_dist(arrow, dist_thresh)
+            clusters_w_vals = zip_clusters_and_values(cluster_ind, arrow)
+            # order clusters by ascending value like the distributed cids
+            clusters_w_vals.sort(key=lambda cw: cw[1].min())
+            model, _ = fit_center_model(clusters_w_vals, n_required_clusters)
+            return model
 
-    summaries = cluster_summaries_distributed(pooled, dist_thresh)
-    rows = summaries.orderBy("cid").collect()
-    model, _ = fit_center_model_summaries(
-        [(int(r["n"]), float(r["median"])) for r in rows],
-        n_required_clusters)
-    return model
+        summaries = cluster_summaries_distributed(pooled, dist_thresh)
+        rows = summaries.orderBy("cid").collect()
+        model, _ = fit_center_model_summaries(
+            [(int(r["n"]), float(r["median"])) for r in rows],
+            n_required_clusters)
+        return model
+    finally:
+        pooled.unpersist()
 
 
 def cluster_summaries_distributed(pooled: DataFrame, dist_thresh: float,
@@ -108,8 +116,7 @@ def cluster_summaries_distributed(pooled: DataFrame, dist_thresh: float,
                                           reproduces the multiset clusters
       2. repartitionByRange(value) + sortWithinPartitions
       3. per-partition summary            mapInPandas -> ONE row per
-                                          partition (min, max, breaks,
-                                          count in last local cluster)
+                                          partition (min, max, breaks)
       4. driver prefix scan               O(partitions) rows: global cid
                                           base per partition + boundary
                                           merge decisions
@@ -154,7 +161,7 @@ def cluster_summaries_distributed(pooled: DataFrame, dist_thresh: float,
         summary_rows = ranged.mapInPandas(
             _partition_summary_kernel(thresh),
             schema="pid int, min_v double, max_v double, "
-                   "n_breaks long, count_last long").collect()
+                   "n_breaks long").collect()
         if not summary_rows:
             return spark.createDataFrame(
                 [], "cid long, median double, n long")
@@ -207,25 +214,21 @@ def cluster_summaries_distributed(pooled: DataFrame, dist_thresh: float,
 
 def _partition_summary_kernel(thresh):
     def summarize(batches):
-        vals, cnts, pid = [], [], None
+        vals, pid = [], None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["pid"].iloc[0])
             vals.append(pdf["v"].to_numpy(dtype=float))
-            cnts.append(pdf["n"].to_numpy(dtype=np.int64))
         if pid is None:
             return
         va = np.concatenate(vals)
-        ca = np.concatenate(cnts)
         brk = np.zeros(len(va), dtype=bool)
         if len(va) > 1:
             brk[1:] = np.diff(va) >= thresh
-        starts = np.flatnonzero(np.concatenate([[True], brk[1:]]))
-        count_last = int(ca[starts[-1]:].sum())
         yield pd.DataFrame({
             "pid": [pid], "min_v": [float(va[0])], "max_v": [float(va[-1])],
-            "n_breaks": [int(brk.sum())], "count_last": [count_last]})
+            "n_breaks": [int(brk.sum())]})
     return summarize
 
 

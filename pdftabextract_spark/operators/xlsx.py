@@ -9,8 +9,9 @@ pandas/openpyxl/Excel accepts. Export-only driver-side materialization,
 same contract as cells_to_wide -> CSV (the wide pivot is already a
 collect-sized artifact by design, SURVEY §1.5)."""
 
+import math
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -31,7 +32,7 @@ _WORKBOOK = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
     '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
     'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-    '<sheets><sheet name="%s" sheetId="1" r:id="rId1"/></sheets></workbook>')
+    '<sheets><sheet name=%s sheetId="1" r:id="rId1"/></sheets></workbook>')
 
 _WB_RELS = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -55,6 +56,8 @@ def _cell_xml(ref, value):
         return ""
     if isinstance(value, bool):
         return '<c r="%s" t="b"><v>%d</v></c>' % (ref, int(value))
+    if isinstance(value, float) and not math.isfinite(value):
+        return ""  # NaN/inf have no OOXML numeric form (to_excel blanks NaN)
     if isinstance(value, (int, float)):
         return '<c r="%s"><v>%r</v></c>' % (ref, value)
     return ('<c r="%s" t="inlineStr"><is><t xml:space="preserve">%s</t></is></c>'
@@ -77,7 +80,7 @@ def write_xlsx(path, header, rows, sheet_name="Sheet1"):
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
         z.writestr("_rels/.rels", _ROOT_RELS)
-        z.writestr("xl/workbook.xml", _WORKBOOK % escape(sheet_name))
+        z.writestr("xl/workbook.xml", _WORKBOOK % quoteattr(sheet_name))
         z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
 

@@ -51,6 +51,31 @@ def test_write_xlsx_values_and_escaping():
         assert "C3" not in rows[3]  # None cells omitted (to_excel NaN blank)
 
 
+def test_write_xlsx_nonfinite_and_quote_sheetname():
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "nf.xlsx")
+        write_xlsx(p, ["x"], [(float("nan"),), (float("inf"),), (1.5,)],
+                   sheet_name='Res "2026" & more')
+        rows = _read_sheet(p)
+        assert "A2" not in rows.get(2, {})   # NaN -> blank
+        assert "A3" not in rows.get(3, {})   # inf -> blank
+        assert rows[4]["A4"] == "1.5"
+        import zipfile as zf
+        with zf.ZipFile(p) as z:
+            wb = ET.fromstring(z.read("xl/workbook.xml"))  # parses = well-formed
+        ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        assert wb.find(ns + "sheets")[0].attrib["name"] == 'Res "2026" & more'
+
+
+def test_cells_to_wide_empty(spark):
+    from pdftabextract_spark.operators.export import cells_to_wide
+    empty = spark.createDataFrame(
+        [], "doc_id string, page int, row_idx int, col_idx int, cell_text string")
+    wide = cells_to_wide(empty)
+    assert wide.count() == 0
+    assert wide.columns == ["doc_id", "page", "row_idx", "from_page"]
+
+
 def test_dataframe_to_xlsx_wide_cells(spark):
     """The reference's final export step (catalog_30s.py:294-296): the
     wide colNN frame written sheet-wise, row order pinned."""
