@@ -391,6 +391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf, "embeddings"), dim=_ANN_DIM, threshold=0.3,
             tables=_BANDED_TABLES, bits_per_table=_BANDED_BITS)
 
+    def q33_bigram_entropy(spark, sf):
+        # model-free quality signal: Shannon entropy of the char-bigram
+        # distribution per doc (gibberish high, boilerplate low) —
+        # bigram explode -> counts -> -sum(p*log2 p), all JVM expressions
+        from pdftabextract_spark.operators.textstats import char_bigram_entropy
+        return char_bigram_entropy(
+            _load(spark, sf, "documents").where(F.col("doc_id") < 100))
+
     def q32_kmeans_centroids(spark, sf):
         # deterministic Lloyd k-means (the trained IVF coarse quantizer):
         # broadcast-centroid argmax-cosine assignment + per-list
@@ -885,6 +893,19 @@ def oracle_sql() -> dict[str, str]:
               FROM b x JOIN b y
                 ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
             WHERE cos >= 0.3
+        """,
+        "q33_bigram_entropy": """
+            WITH bi AS (
+              SELECT doc_id, substr(text, i, 2) AS bg
+              FROM documents, UNNEST(range(1, length(text))) AS t(i)
+              WHERE doc_id < 100),
+            counts AS (SELECT doc_id, bg, count(*) AS c
+                       FROM bi GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS t FROM counts GROUP BY 1)
+            SELECT counts.doc_id,
+                   round(sum(-(c / t) * log2(c / t)), 6) AS bigram_entropy
+            FROM counts JOIN tot ON tot.doc_id = counts.doc_id
+            GROUP BY counts.doc_id
         """,
         "q32_kmeans_centroids": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -67,3 +67,29 @@ def fingerprint(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
     """Normalization fingerprint: md5(lower(trimmed, space-collapsed))."""
     norm = F.lower(F.regexp_replace(F.trim(text_col), " +", " "))
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+def char_bigram_entropy(docs: DataFrame, text_col="text",
+                        id_col="doc_id") -> DataFrame:
+    """Shannon entropy (bits) of the character-bigram distribution per
+    document — a model-free quality/gibberish signal: natural prose sits
+    in a band (~6-8 bits at paragraph length), mashed-keyboard noise runs
+    high for its length, and boilerplate repetition runs low. Pure JVM
+    expressions: bigram explode -> counts -> -sum(p*log2(p)); documents
+    shorter than 2 chars have no distribution and drop out (same in the
+    SQL oracle)."""
+    from pyspark.sql import Window as W
+    # the length guard matters: Spark's sequence(1, 0) counts DOWN
+    # ([1, 0]) instead of returning empty, so 1-char docs would emit
+    # phantom bigrams; explode(NULL) emits nothing
+    bigrams = F.when(F.length(text_col) >= 2, F.expr(
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2))"))
+    bi = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(bigrams).alias("bg"))
+    counts = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    tot = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / tot
+    return (counts.select("doc_id", (-p * F.log2(p)).alias("_t"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("_t"), 6).alias("bigram_entropy")))

@@ -247,6 +247,28 @@ def test_embedding_neardup_banded_scores_once_and_exact(skew_emb):
     assert all(r["n_tables"] == 3 and r["cos"] == 1.0 for r in hot)
 
 
+def test_char_bigram_entropy_orders_quality(spark):
+    """Entropy separates repetitive boilerplate (low) from varied prose
+    (mid) from uniform noise (high); <2-char docs drop out."""
+    import math
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaa"),
+         (2, "the quick brown fox jumps over the lazy dog near banks"),
+         (3, "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "0123456789.,;:!?-_+="),  # 71 distinct bigrams -> ~6.15 bits
+         (4, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bigram_entropy"]
+           for r in T.char_bigram_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}          # doc 4 has no bigrams
+    assert out[1] < 0.5                    # single repeated bigram ~ 0.3
+    assert out[1] < out[2] < out[3]
+    # exact value check: "aaaa..." has bigrams {aa x19} -> entropy 0
+    all_a = spark.createDataFrame([(9, "aaaa")], "doc_id long, text string")
+    got = T.char_bigram_entropy(all_a).collect()[0]["bigram_entropy"]
+    assert got == 0.0 or math.isclose(got, 0.0, abs_tol=1e-9)
+
+
 def test_kmeans_fit_recovers_directions_and_trains_ivf(spark):
     """Two well-separated direction clusters: the converged centroid set
     covers both true directions, and ivf_assign with the TRAINED
