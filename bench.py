@@ -62,6 +62,14 @@ def bench_extract(spark, n_docs):
                           min_col_width=params.min_col_width,
                           min_row_height=params.min_row_height)
     span_docs = spark.read.parquet(path)
+    # one small UNTIMED warmup pass first: the fresh JVM's first heavy
+    # job pays whole-stage-codegen compilation + Python worker spin-up,
+    # which repeatedly dominated rep 1 in session logs (operator queries
+    # timed later in the same session ran at their best while the
+    # first-positioned e2e jobs ran 3-5x slow)
+    warm = synth.CorpusParams(seed=43, n_docs=200, n_cols=6)
+    extract_from_span_table(synth.span_docs_df(spark, warm), pipe).count()
+    spark.catalog.clearCache()
     # best-of-4 against hypervisor noise (measured wall-clock swings up to
     # 3x between adjacent reps on this VM, and entire best-of windows can
     # land slow); clear the persisted-plan cache between reps so each rep
