@@ -125,6 +125,8 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
+    if color_type is None:
+        raise ValueError("missing IHDR")
     channels = _CHANNELS[color_type]
     if depth == 8:
         stride, bpp = w * channels, channels

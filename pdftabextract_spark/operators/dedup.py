@@ -120,7 +120,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
     shingle) at the cost of slightly underestimating overlap of
     boilerplate-heavy pairs. An unbounded hot shingle (site boilerplate in
     50% of a 10^9-doc corpus) otherwise makes the equi-join quadratic in
-    its document frequency. Pass ``max_shingle_df=None`` for exact
+    its document frequency.
+
+    .. note:: **Changed in round 3** — the default was ``None`` (exact
+       Jaccard, unbounded fanout); it is now 1000. Callers relying on
+       exact Jaccard for shingles with document frequency above 1000
+       must pass ``max_shingle_df=None`` explicitly.
+
+    Pass ``max_shingle_df=None`` for exact
     Jaccard; ``log_dropped=True`` counts and warns about dropped
     stop-shingles (one extra action — keep off the hot path)."""
     sh = word_shingles(docs, n, text_col, id_col, hashed=True)

@@ -46,7 +46,14 @@ def fit_column_model(centers: DataFrame, n_required_clusters: int,
     the driver beats any exchange by seconds). Above MAX_DRIVER_POOL
     values the fully distributed fit takes over (see
     :func:`cluster_summaries_distributed` — no corpus-wide ordering, no
-    single-partition window, bit-equal model)."""
+    single-partition window, bit-equal model).
+
+    Constraint: the distributed path requires ``dist_thresh > 0``
+    (``dist_thresh <= 0`` would put duplicate values in separate
+    clusters, which its value-dedup step cannot represent) — above
+    MAX_DRIVER_POOL that degenerate configuration raises ``ValueError``
+    instead of silently computing a different clustering. At or below
+    the driver limit the numpy path accepts any threshold."""
     pooled = normalized_centers(centers, group_cols).select("center_norm")
     return fit_column_model_pooled(pooled, n_required_clusters, dist_thresh)
 

@@ -10,8 +10,16 @@ same contract as cells_to_wide -> CSV (the wide pivot is already a
 collect-sized artifact by design, SURVEY §1.5)."""
 
 import math
+import numbers
+import re
 import zipfile
+
+import numpy as np
 from xml.sax.saxutils import escape, quoteattr
+
+# XML 1.0 forbids C0 control chars except tab/newline/CR; Excel rejects
+# files containing them even escaped, so strip rather than escape.
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -52,16 +60,22 @@ def _col_letter(i):
 
 
 def _cell_xml(ref, value):
+    # numbers.Integral / numbers.Real (not bare int/float) so numpy
+    # scalars (np.int64, np.float32) become numeric cells too, coerced
+    # through int()/float() for a stable decimal repr
     if value is None:
         return ""
-    if isinstance(value, bool):
+    if isinstance(value, (bool, np.bool_)):
         return '<c r="%s" t="b"><v>%d</v></c>' % (ref, int(value))
-    if isinstance(value, float) and not math.isfinite(value):
-        return ""  # NaN/inf have no OOXML numeric form (to_excel blanks NaN)
-    if isinstance(value, (int, float)):
+    if isinstance(value, numbers.Integral):
+        return '<c r="%s"><v>%r</v></c>' % (ref, int(value))
+    if isinstance(value, numbers.Real):
+        value = float(value)
+        if not math.isfinite(value):
+            return ""  # NaN/inf have no OOXML numeric form (to_excel blanks NaN)
         return '<c r="%s"><v>%r</v></c>' % (ref, value)
     return ('<c r="%s" t="inlineStr"><is><t xml:space="preserve">%s</t></is></c>'
-            % (ref, escape(str(value))))
+            % (ref, escape(_XML_ILLEGAL.sub("", str(value)))))
 
 
 def write_xlsx(path, header, rows, sheet_name="Sheet1"):

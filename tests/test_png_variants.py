@@ -101,3 +101,11 @@ def test_reference_1bit_scans_decode():
     gray8 = eight.mean(axis=2)
     agree = ((one > 127) == (gray8 > 127)).mean()
     assert agree > 0.9, agree
+
+
+def test_missing_ihdr_raises_valueerror():
+    """ADVICE r3: valid signature but no IHDR must hit the module's
+    ValueError contract, not KeyError/TypeError."""
+    bad = SIG + _chunk(b"IDAT", zlib.compress(b"\x00\x00")) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(bad)

@@ -67,6 +67,26 @@ def test_write_xlsx_nonfinite_and_quote_sheetname():
         assert wb.find(ns + "sheets")[0].attrib["name"] == 'Res "2026" & more'
 
 
+def test_write_xlsx_numpy_scalars_and_control_chars():
+    """ADVICE r3: numpy scalars must land as numeric cells (not inline
+    text) and XML-1.0-illegal control chars must be stripped, not
+    escaped (Excel/openpyxl reject files containing them)."""
+    import numpy as np
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "np.xlsx")
+        write_xlsx(p, ["x"],
+                   [(np.int64(7),), (np.float32(2.5),), (np.float64("nan"),),
+                    (np.bool_(True),), ("a\x00b\x07c\tkeep",)])
+        rows = _read_sheet(p)
+        sheet_cells = {r: c for r, c in rows.items()}
+    # numeric cells have no t= attribute -> parsed as <v> text
+    assert sheet_cells[2]["A2"] == "7"
+    assert sheet_cells[3]["A3"] == "2.5"
+    assert "A4" not in sheet_cells.get(4, {})  # np NaN -> blank
+    assert sheet_cells[5]["A5"] == "1"         # np.bool_ -> boolean cell
+    assert sheet_cells[6]["A6"] == "ab" + "c\tkeep"  # \x00,\x07 stripped, tab kept
+
+
 def test_cells_to_wide_empty(spark):
     from pdftabextract_spark.operators.export import cells_to_wide
     empty = spark.createDataFrame(
