@@ -350,8 +350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN: exact cosine re-rank restricted to the query's LSH bucket —
         # the scale path verified end-to-end against the SQL oracle
         from pdftabextract_spark.operators.similarity import ann_topk
+        # lsh_bits pinned to ANN_K: the operator default now derives the
+        # bit count from the corpus size (scale-safe), which would make
+        # the bucketing sf-dependent — the oracle needs the fixed planes
         return ann_topk(_load(spark, sf, "embeddings"), query_ids=[0, 1, 2],
-                        dim=_ANN_DIM, k=5)
+                        dim=_ANN_DIM, k=5, lsh_bits=_ANN_K)
 
     def q27_ivf_topk(spark, sf):
         # IVF ANN: broadcast coarse-quantizer assignment + nprobe-list
@@ -365,8 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding-cosine near-duplicate pairs with LSH-bucket blocking:
         # only same-bucket pairs are scored (no corpus crossJoin)
         from pdftabextract_spark.operators.similarity import embedding_neardup_pairs
+        # lsh_bits pinned (operator default is now corpus-derived)
         return embedding_neardup_pairs(_load(spark, sf, "embeddings"),
-                                       dim=_ANN_DIM, threshold=0.3)
+                                       dim=_ANN_DIM, threshold=0.3,
+                                       lsh_bits=_ANN_K)
 
     def q29_neardup_components(spark, sf):
         # dedup canonicalization: connected components over the near-dup
@@ -375,7 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdftabextract_spark.operators.similarity import embedding_neardup_pairs
         from pdftabextract_spark.operators.dedup import neardup_components
         pairs = embedding_neardup_pairs(_load(spark, sf, "embeddings"),
-                                        dim=_ANN_DIM, threshold=0.3)
+                                        dim=_ANN_DIM, threshold=0.3,
+                                        lsh_bits=_ANN_K)
         return (neardup_components(pairs)
                 .select(F.col("id").cast("long").alias("vec_id"),
                         F.col("component").cast("long").alias("component")))
@@ -387,9 +393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over single-table blocking (q28)
         from pdftabextract_spark.operators.similarity import (
             embedding_neardup_pairs_banded)
+        # max_bucket_size=None pins the uncapped blocking the oracle
+        # mirrors (the operator default is now a finite 4096 cap)
         return embedding_neardup_pairs_banded(
             _load(spark, sf, "embeddings"), dim=_ANN_DIM, threshold=0.3,
-            tables=_BANDED_TABLES, bits_per_table=_BANDED_BITS)
+            tables=_BANDED_TABLES, bits_per_table=_BANDED_BITS,
+            max_bucket_size=None)
 
     def q33_bigram_entropy(spark, sf):
         # model-free quality signal: Shannon entropy of the char-bigram
@@ -409,6 +418,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (c.select("list_id", F.posexplode("centroid").alias("i", "m"))
                 .select("list_id", F.col("i").cast("long").alias("i"),
                         F.round("m", 6).alias("m")))
+
+    def q34_ivf_topk_trained(spark, sf):
+        # trained-quantizer IVF search (VERDICT r3 item 3): kmeans_fit's
+        # centroids flow into ivf_topk for BOTH corpus assignment and
+        # query probe selection; oracle reuses q32's unrolled Lloyd CTE
+        # as the centroid table feeding the q27-style search
+        from pdftabextract_spark.operators.similarity import (
+            ivf_topk, kmeans_fit)
+        emb = _load(spark, sf, "embeddings")
+        cents = kmeans_fit(emb, k=4, iters=2)
+        return ivf_topk(emb, query_ids=[0, 1, 2], k=5, nlist=4, nprobe=2,
+                        centroids=cents)
 
     def q30_html_strip(spark, sf):
         # HTML boilerplate-strip baseline: wrap the document text in
@@ -914,6 +935,42 @@ def oracle_sql() -> dict[str, str]:
                    FROM e WHERE vec_id < 4),{km_body}
             SELECT list_id, CAST(i - 1 AS BIGINT) AS i, round(cv[i], 6) AS m
             FROM {prev}, UNNEST(range(1, {_ANN_DIM + 1})) AS t(i)
+        """,
+        "q34_ivf_topk_trained": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c0 AS (SELECT CAST(vec_id AS BIGINT) AS list_id, v AS cv
+                   FROM e WHERE vec_id < 4),{km_body},
+            ass AS (
+              SELECT vec_id, v, list_id FROM (
+                SELECT e.vec_id, e.v, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                         list_dot_product(c.cv, e.v)
+                           / (sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(e.v, e.v))) DESC,
+                         c.list_id ASC) AS rk
+                FROM e CROSS JOIN {prev} c) t WHERE rk = 1),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            probes AS (
+              SELECT q_id, qv, list_id FROM (
+                SELECT q.q_id, q.qv, c.list_id,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                         list_dot_product(c.cv, q.qv)
+                           / (sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                         c.list_id ASC) AS prk
+                FROM q CROSS JOIN {prev} c) t WHERE prk <= 2),
+            scored AS (
+              SELECT p.q_id, a.vec_id,
+                     list_dot_product(p.qv, a.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(a.v, a.v))) AS c
+              FROM probes p JOIN ass a ON p.list_id = a.list_id
+              WHERE p.q_id <> a.vec_id)
+            SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, round(c, 6) AS cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY c DESC, vec_id ASC) AS rk FROM scored) t
+            WHERE rk <= 5
         """,
         "q31_banded_neardup_pairs": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -16,9 +16,12 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-ANN_K = 8
+ANN_K = 8           # pinned bit count for the oracle-gated queries
 ANN_SEED = 123
 ANN_TARGET_BUCKET = 256
+# default per-bucket size cap for banded blocking: 16x the target bucket
+# bounds any bucket's pair contribution at C(4096, 2) regardless of skew
+ANN_MAX_BUCKET_DEFAULT = 16 * ANN_TARGET_BUCKET
 
 
 def ann_bits_for(n_vectors: int, target_bucket: int = ANN_TARGET_BUCKET,
@@ -82,12 +85,19 @@ def _bucket_expr(planes, vcol):
     return bucket.cast("long")
 
 
-def lsh_bucket(embeddings: DataFrame, dim: int, k: int = ANN_K,
+def lsh_bucket(embeddings: DataFrame, dim: int, k: int = None,
                seed: int = ANN_SEED, id_col="vec_id",
                vec_col="embedding") -> DataFrame:
-    """Assign every vector its 2^k sign-bit bucket. ``k=None`` derives
-    the bit count from the corpus size (one count action) via
-    :func:`ann_bits_for`."""
+    """Assign every vector its 2^k sign-bit bucket.
+
+    The DEFAULT ``k=None`` derives the bit count from the corpus size
+    (one count action) via :func:`ann_bits_for`, so the no-args path is
+    scale-safe at any corpus size — a fixed bit count on 10^9 vectors
+    gives O(N^2 / 2^k) within-bucket work.  Pass an explicit ``k`` for a
+    pinned bucketing (the oracle-gated queries pass ``k=ANN_K``).
+
+    .. note:: **Changed in round 4** — the default was ``ANN_K`` (8
+       bits); it is now ``None`` (derive from a corpus count)."""
     if k is None:
         k = ann_bits_for(embeddings.count())
     planes = hyperplanes(dim, k, seed)
@@ -97,12 +107,13 @@ def lsh_bucket(embeddings: DataFrame, dim: int, k: int = ANN_K,
 
 
 def ann_topk(embeddings: DataFrame, query_ids, dim: int, k=5,
-             lsh_bits: int = ANN_K, id_col="vec_id",
+             lsh_bits: int = None, id_col="vec_id",
              vec_col="embedding") -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the query's
     LSH bucket (equi-join on bucket replaces the full crossJoin — the
     candidate set shrinks ~2^bits-fold at matched recall for high-cosine
-    neighbors)."""
+    neighbors). Default ``lsh_bits=None`` derives the bit count from the
+    corpus size (changed in round 4 from a fixed ``ANN_K``)."""
     bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col, vec_col=vec_col)
     q = bucketed.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
@@ -201,16 +212,27 @@ def ivf_assign(embeddings: DataFrame, nlist: int = IVF_NLIST,
 
 def ivf_topk(embeddings: DataFrame, query_ids, k=5, nlist: int = IVF_NLIST,
              nprobe: int = IVF_NPROBE, id_col="vec_id",
-             vec_col="embedding") -> DataFrame:
+             vec_col="embedding", centroids: DataFrame = None) -> DataFrame:
     """IVF search: per query, probe the ``nprobe`` nearest centroid lists
     and exact-cosine re-rank only those lists' members. The probe join is
     an equi-join on list_id (shuffle bounded by candidate lists), never a
-    crossJoin against the corpus."""
-    assigned = ivf_assign(embeddings, nlist, id_col=id_col, vec_col=vec_col)
+    crossJoin against the corpus.
+
+    ``centroids`` (list_id, centroid) — e.g. the trained quantizer from
+    :func:`kmeans_fit` — replaces the default first-``nlist``-vectors
+    quantizer for BOTH the corpus assignment and the query probe
+    selection, making the trained quantizer reachable from the search
+    entry point (round-4 plumbing; the quantizer table is broadcast
+    either way)."""
+    assigned = ivf_assign(embeddings, nlist, id_col=id_col, vec_col=vec_col,
+                          centroids=centroids)
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
-    cents = e.where(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
+    if centroids is not None:
+        cents = centroids.select("list_id", F.col("centroid").alias("cv"))
+    else:
+        cents = e.where(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("list_id"), F.col("v").alias("cv"))
     q = e.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     qc = q.join(F.broadcast(cents))
@@ -231,12 +253,14 @@ def ivf_topk(embeddings: DataFrame, query_ids, k=5, nlist: int = IVF_NLIST,
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, dim: int, threshold=0.9,
-                            lsh_bits: int = ANN_K, id_col="vec_id",
+                            lsh_bits: int = None, id_col="vec_id",
                             vec_col="embedding") -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs: LSH-bucket
     prejoin (only same-bucket pairs are scored — the blocking step that
     makes all-pairs dedup feasible at corpus scale), then exact cosine >=
-    threshold, emitted once per unordered pair (a < b)."""
+    threshold, emitted once per unordered pair (a < b). Default
+    ``lsh_bits=None`` derives the bit count from the corpus size
+    (changed in round 4 from a fixed ``ANN_K``)."""
     bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col, vec_col=vec_col)
     a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"),
@@ -253,7 +277,7 @@ ANN_TABLES = 4
 
 
 def banded_lsh_buckets(embeddings: DataFrame, dim: int,
-                       tables: int = ANN_TABLES, bits_per_table: int = ANN_K,
+                       tables: int = ANN_TABLES, bits_per_table: int = None,
                        seed: int = ANN_SEED, id_col="vec_id",
                        vec_col="embedding") -> DataFrame:
     """Multi-table (banded) hyperplane LSH: ``tables`` independent
@@ -265,7 +289,13 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int,
 
     All tables' buckets come from ONE projection (posexplode over an
     array of bucket expressions) — a per-table union would scan the
-    corpus ``tables`` times; at 100 TB every extra scan is a full read."""
+    corpus ``tables`` times; at 100 TB every extra scan is a full read.
+
+    Default ``bits_per_table=None`` derives the bit count from the
+    corpus size via :func:`ann_bits_for` (changed in round 4 from a
+    fixed ``ANN_K``)."""
+    if bits_per_table is None:
+        bits_per_table = ann_bits_for(embeddings.count())
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
     exprs = [_bucket_expr(hyperplanes(dim, bits_per_table, seed + t),
@@ -277,9 +307,9 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int,
 
 def banded_candidate_pairs(embeddings: DataFrame, dim: int,
                            tables: int = ANN_TABLES,
-                           bits_per_table: int = ANN_K,
+                           bits_per_table: int = None,
                            seed: int = ANN_SEED,
-                           max_bucket_size: int = None,
+                           max_bucket_size: int = ANN_MAX_BUCKET_DEFAULT,
                            id_col="vec_id", vec_col="embedding") -> DataFrame:
     """Candidate pairs (a, b, n_tables) from banded LSH — a < b, one row
     per unordered pair, ``n_tables`` = number of tables where the pair
@@ -292,7 +322,13 @@ def banded_candidate_pairs(embeddings: DataFrame, dim: int,
     contribution at C(cap, 2) no matter how skewed the embedding
     distribution is (near-constant corpora, zero vectors, boilerplate
     embeddings). Dropped hot buckets lose recall only for pairs that
-    collide in NO other table."""
+    collide in NO other table.
+
+    .. note:: **Changed in round 4** — ``max_bucket_size`` now defaults
+       to ``ANN_MAX_BUCKET_DEFAULT`` (4096 = 16x the target bucket) and
+       ``bits_per_table`` to ``None`` (derive from a corpus count), so
+       default arguments can no longer produce a quadratic plan. Pass
+       ``max_bucket_size=None`` for the uncapped exact blocking."""
     b = banded_lsh_buckets(embeddings, dim, tables, bits_per_table, seed,
                            id_col=id_col, vec_col=vec_col)
     b = b.select("vec_id", "t", "bucket")
@@ -312,9 +348,9 @@ def banded_candidate_pairs(embeddings: DataFrame, dim: int,
 
 def embedding_neardup_pairs_banded(embeddings: DataFrame, dim: int,
                                    threshold=0.9, tables: int = ANN_TABLES,
-                                   bits_per_table: int = ANN_K,
+                                   bits_per_table: int = None,
                                    seed: int = ANN_SEED,
-                                   max_bucket_size: int = None,
+                                   max_bucket_size: int = ANN_MAX_BUCKET_DEFAULT,
                                    id_col="vec_id",
                                    vec_col="embedding") -> DataFrame:
     """Banded-LSH near-duplicate pairs: candidate pairs from

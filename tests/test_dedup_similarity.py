@@ -329,3 +329,58 @@ def test_neardup_components_empty_and_single_pair(spark):
     one = spark.createDataFrame([(7, 3)], "a long, b long")
     out = {r["id"]: r["component"] for r in neardup_components(one).collect()}
     assert out == {3: 3, 7: 3}
+
+
+def test_default_args_derive_bits_on_large_corpus(spark):
+    """VERDICT r3 item 1 gate: the no-args operator path on a 10^6-row
+    corpus must derive >= 12 hyperplane bits (ann_bits_for), i.e. default
+    arguments can no longer produce the fixed-256-bucket quadratic plan."""
+    assert S.ann_bits_for(10 ** 6) >= 12
+    from pyspark.sql import functions as FF
+    dim = 16
+    # deterministic pseudo-random dim-16 vectors, pure JVM expressions
+    e = spark.range(1_000_000).select(
+        FF.col("id").alias("vec_id"),
+        FF.array(*[(FF.hash(FF.col("id") + i) % 1000).cast("double")
+                   for i in range(dim)]).alias("embedding"))
+    buckets = S.lsh_bucket(e, dim=dim)  # k default = None -> derive
+    stats = buckets.agg(FF.countDistinct("bucket").alias("nb"),
+                        FF.max("bucket").alias("mx")).collect()[0]
+    # fixed ANN_K=8 could yield at most 256 distinct buckets; derived
+    # >=12 bits spreads these vectors far wider
+    assert stats["nb"] > 256
+    assert stats["mx"] < (1 << 24)
+
+
+def test_banded_default_cap_bounds_hot_bucket(spark):
+    """Default max_bucket_size (4096) drops a hot bucket of 5000
+    identical vectors in every table BEFORE the self-join — candidate
+    pairs among the constant block must be zero, spread vectors survive."""
+    rng = np.random.default_rng(3)
+    n_hot, n_rest = 5000, 100
+    rows = [(i, [1.0] * 8) for i in range(n_hot)]
+    rows += [(n_hot + i, rng.standard_normal(8).tolist()) for i in range(n_rest)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = S.banded_candidate_pairs(e, dim=8, tables=3).collect()
+    hot = [r for r in cand if r["a"] < n_hot and r["b"] < n_hot]
+    assert not hot                       # every table's hot bucket dropped
+    assert len(cand) <= 3 * (n_rest * (n_rest - 1)) // 2
+
+
+def test_ivf_topk_trained_centroids_plumbed(spark, sf_dir):
+    """VERDICT r3 item 3: kmeans_fit centroids must be reachable from
+    ivf_topk (assignment AND probe selection). With nprobe=k the trained
+    search degenerates to exact: equals brute-force top-k."""
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    cents = S.kmeans_fit(emb, k=4, iters=2)
+    exact = {(r["q_id"], r["rk"]): r["vec_id"]
+             for r in S.cosine_topk(emb, [0, 1], k=3).collect()}
+    trained_full = {(r["q_id"], r["rk"]): r["vec_id"]
+                    for r in S.ivf_topk(emb, [0, 1], k=3, nlist=4, nprobe=4,
+                                        centroids=cents).collect()}
+    assert trained_full == exact
+    # partial probe differs from the untrained quantizer's assignment in
+    # general but must still emit ranked rows
+    partial = S.ivf_topk(emb, [0, 1], k=3, nlist=4, nprobe=1,
+                         centroids=cents).collect()
+    assert partial and all(r["rk"] <= 3 for r in partial)
