@@ -57,13 +57,19 @@ def break_dist_cluster_ids(vals, dist_thresh):
     return ids
 
 
-def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"):
+def find_clusters_1d_hierarchical(vals, t, method="single",
+                                  criterion="inconsistent", depth=2):
     """Hierarchical agglomerative clustering of 1-D values (scipy is
     unavailable; native implementation of the fclusterdata surface the
     reference forwards kwargs to — clustering.py:58-72).
 
     ``method``: 'single' | 'complete' | 'average';
-    ``criterion``: 'distance' (flat clusters at cophenetic distance <= t)
+    ``criterion``: 'inconsistent' (the scipy ``fclusterdata`` default: a
+    subtree stays one flat cluster iff every link in it has
+    inconsistency coefficient <= t, where the coefficient of a link is
+    (height - mean) / std over the link heights within ``depth`` levels
+    below it, 0 when the std is 0)
+    | 'distance' (flat clusters at cophenetic distance <= t)
     | 'maxclust' (merge until at most t clusters).
 
     For 1-D data every agglomerative merge under these linkages joins
@@ -85,7 +91,7 @@ def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"
         return []
     if method not in ("single", "complete", "average"):
         raise NotImplementedError("unsupported linkage method %r" % method)
-    if criterion not in ("distance", "maxclust"):
+    if criterion not in ("distance", "maxclust", "inconsistent"):
         raise NotImplementedError("unsupported criterion %r" % criterion)
     order = np.argsort(vals, kind="stable")
     svals = vals[order]
@@ -108,6 +114,8 @@ def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"
     # depend solely on their own unchanged intervals), so the loop does
     # O(1) dist() calls per merge instead of rebuilding the whole list
     dists = [dist(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+    if criterion == "inconsistent":
+        return _fcluster_inconsistent(order, bounds, dists, dist, t, depth)
     while len(bounds) > 1:
         if criterion == "maxclust" and len(bounds) <= t:
             break
@@ -122,6 +130,79 @@ def find_clusters_1d_hierarchical(vals, t, method="single", criterion="distance"
         if i < len(bounds) - 1:
             dists[i] = dist(bounds[i], bounds[i + 1])
     return [np.sort(order[s:e]) for s, e in bounds]
+
+
+def _fcluster_inconsistent(order, bounds, dists, dist, t, depth):
+    """scipy ``fcluster(criterion='inconsistent')`` semantics over the
+    1-D adjacent-merge linkage: run the merges to completion recording
+    the tree, compute each link's inconsistency coefficient
+    (height - mean) / std over the link heights within ``depth`` levels
+    below-and-including it (population std; 0 when the window has no
+    spread — a link over two leaves is always coefficient 0), then cut
+    into the MAXIMAL subtrees whose links all have coefficient <= t.
+    Clusters stay contiguous in value order, emitted ascending."""
+    n = len(bounds)
+    if n == 1:
+        return [np.sort(order)]
+    node_of = list(range(n))   # current node id per interval; links get n+j
+    children = []              # per link j: (left child id, right child id)
+    heights = []               # per link j: merge height
+    spans = {}                 # link id -> (s, e) over sorted values
+    while len(bounds) > 1:
+        i = int(np.argmin(dists))      # leftmost minimal pair on ties
+        lid = n + len(children)
+        children.append((node_of[i], node_of[i + 1]))
+        heights.append(float(dists[i]))
+        bounds[i] = (bounds[i][0], bounds[i + 1][1])
+        spans[lid] = bounds[i]
+        del bounds[i + 1]
+        node_of[i] = lid
+        del node_of[i + 1]
+        del dists[i]
+        if i > 0:
+            dists[i - 1] = dist(bounds[i - 1], bounds[i])
+        if i < len(bounds) - 1:
+            dists[i] = dist(bounds[i], bounds[i + 1])
+
+    m = len(heights)
+    coef = np.zeros(m)
+    for j in range(m):
+        window = []
+        frontier = [(n + j, 1)]
+        while frontier:
+            node, lvl = frontier.pop()
+            if node < n:
+                continue
+            window.append(heights[node - n])
+            if lvl < depth:
+                a, b = children[node - n]
+                frontier.append((a, lvl + 1))
+                frontier.append((b, lvl + 1))
+        w = np.asarray(window)
+        sd = w.std()
+        coef[j] = 0.0 if sd == 0 else (heights[j] - w.mean()) / sd
+
+    # subtree max coefficient: links are created children-before-parents,
+    # so one forward pass folds descendants in
+    mono = coef.copy()
+    for j in range(m):
+        for c in children[j]:
+            if c >= n:
+                mono[j] = max(mono[j], mono[c - n])
+
+    out_spans = []
+    stack = [n + m - 1]   # root is the last link
+    while stack:
+        node = stack.pop()
+        if node < n:
+            out_spans.append((node, node + 1))   # singleton leaf
+        elif mono[node - n] <= t:
+            out_spans.append(spans[node])
+        else:
+            a, b = children[node - n]
+            stack.append(b)
+            stack.append(a)    # left popped first -> ascending value order
+    return [np.sort(order[s:e]) for s, e in out_spans]
 
 
 def zip_clusters_and_values(clusters, values):

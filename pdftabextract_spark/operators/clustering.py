@@ -79,12 +79,15 @@ def cluster_centers_pluggable(df: DataFrame, value_col: str, group_cols,
             find_clusters_1d_hierarchical, zip_clusters_and_values)
         t = float(method_kwargs["t"])
         linkage = method_kwargs.get("linkage", "single")
-        criterion = method_kwargs.get("criterion", "distance")
+        # default mirrors scipy fclusterdata (the reference forwards bare
+        # kwargs to it, clustering.py:58-72): criterion='inconsistent'
+        criterion = method_kwargs.get("criterion", "inconsistent")
+        depth = int(method_kwargs.get("depth", 2))
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
             vals = pdf[value_col].to_numpy(dtype=float)
             clusters = find_clusters_1d_hierarchical(
-                vals, t, method=linkage, criterion=criterion)
+                vals, t, method=linkage, criterion=criterion, depth=depth)
             rows = []
             for cid, (ind, cv) in enumerate(
                     zip_clusters_and_values(clusters, vals)):

@@ -34,9 +34,16 @@ def test_pluggable_hierarchical(spark):
     vals = [1, 2, 3, 50, 51, 52, 200]
     df = _vals_df(spark, vals)
     got = cluster_centers_pluggable(df, "pos", ("doc_id", "page"),
-                                    method="hierarchical", t=20.0).collect()
+                                    method="hierarchical", t=20.0,
+                                    criterion="distance").collect()
     centers = sorted(r["center"] for r in got)
     assert centers == [2.0, 51.0, 200.0]
+    # bare kwargs hit the fclusterdata default criterion='inconsistent':
+    # a depth-2 window holds <=3 link heights, so no coefficient can
+    # exceed sqrt(2) (~1.414) and t=2 keeps the whole page one cluster
+    one = cluster_centers_pluggable(df, "pos", ("doc_id", "page"),
+                                    method="hierarchical", t=2.0).collect()
+    assert len(one) == 1 and one[0]["n"] == 7
 
 
 def test_stddev_filter(spark):

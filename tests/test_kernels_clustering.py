@@ -69,7 +69,7 @@ def test_break_dist_cluster_ids_matches_list_variant(seq, delta):
        st.floats(min_value=0, max_value=1e6, allow_nan=False))
 def test_hierarchical_single_linkage(seq, t):
     arr = np.array(seq, dtype=float)
-    clusts = find_clusters_1d_hierarchical(arr, t)
+    clusts = find_clusters_1d_hierarchical(arr, t, criterion="distance")
     assert sum(map(len, clusts)) == len(seq)
     if len(seq) > 1:
         for c in clusts:
@@ -134,9 +134,11 @@ def test_hierarchical_linkages_match_bruteforce_oracle(method, criterion):
 def test_hierarchical_linkage_hand_case():
     # complete linkage splits what single linkage chains: 0,1,2 chain
     vals = np.array([0.0, 1.0, 2.0, 10.0])
-    single = find_clusters_1d_hierarchical(vals, 1.0, method="single")
+    single = find_clusters_1d_hierarchical(vals, 1.0, method="single",
+                                           criterion="distance")
     assert [list(c) for c in single] == [[0, 1, 2], [3]]
-    complete = find_clusters_1d_hierarchical(vals, 1.0, method="complete")
+    complete = find_clusters_1d_hierarchical(vals, 1.0, method="complete",
+                                             criterion="distance")
     assert [list(c) for c in complete] == [[0, 1], [2], [3]]
     # maxclust forces exactly k clusters regardless of gaps
     mc = find_clusters_1d_hierarchical(vals, 2, method="average",
@@ -146,7 +148,100 @@ def test_hierarchical_linkage_hand_case():
     with _pt.raises(NotImplementedError):
         find_clusters_1d_hierarchical(vals, 1.0, method="ward")
     with _pt.raises(NotImplementedError):
-        find_clusters_1d_hierarchical(vals, 1.0, criterion="inconsistent")
+        find_clusters_1d_hierarchical(vals, 1.0, criterion="monocrit")
+
+
+def _brute_inconsistent(vals, t, method, depth=2):
+    """Independent recursive oracle for criterion='inconsistent': build
+    the full linkage naively (full pairwise matrix, same leftmost-min
+    merge rule), compute each link's coefficient over the depth-limited
+    height window recursively, then cut at the maximal subtrees whose
+    links all satisfy coef <= t."""
+    vals = np.asarray(vals, dtype=float)
+    n = len(vals)
+    if n == 0:
+        return []
+    nodes = [{"members": [i], "h": None, "kids": []}
+             for i in np.argsort(vals, kind="stable")]
+    active = list(range(n))
+
+    def d(a, b):
+        pair = np.abs(vals[np.array(a)][:, None] - vals[np.array(b)][None, :])
+        return {"single": pair.min, "complete": pair.max,
+                "average": pair.mean}[method]()
+
+    while len(active) > 1:
+        best = None
+        for x in range(len(active)):
+            for y in range(x + 1, len(active)):
+                ma = nodes[active[x]]["members"]
+                mb = nodes[active[y]]["members"]
+                key = (d(ma, mb), min(vals[ma].min(), vals[mb].min()))
+                if best is None or key < best[0]:
+                    best = (key, x, y)
+        (dd, _), x, y = best
+        nodes.append({"members": nodes[active[x]]["members"]
+                      + nodes[active[y]]["members"],
+                      "h": dd, "kids": [active[x], active[y]]})
+        active[x] = len(nodes) - 1
+        del active[y]
+    root = active[0]
+
+    def window(i, lvl):
+        if nodes[i]["h"] is None:
+            return []
+        out = [nodes[i]["h"]]
+        if lvl < depth:
+            for k in nodes[i]["kids"]:
+                out += window(k, lvl + 1)
+        return out
+
+    def coef(i):
+        w = np.asarray(window(i, 1))
+        return 0.0 if w.std() == 0 else (nodes[i]["h"] - w.mean()) / w.std()
+
+    def worst(i):
+        if nodes[i]["h"] is None:
+            return -np.inf
+        return max([coef(i)] + [worst(k) for k in nodes[i]["kids"]])
+
+    def cut(i):
+        if nodes[i]["h"] is None or worst(i) <= t:
+            return [np.sort(np.array(nodes[i]["members"]))]
+        return sum((cut(k) for k in nodes[i]["kids"]), [])
+
+    out = cut(root)
+    out.sort(key=lambda c: vals[c].min())
+    return out
+
+
+@pytest.mark.parametrize("method", ["single", "complete", "average"])
+def test_hierarchical_inconsistent_matches_bruteforce_oracle(method):
+    """VERDICT r3 item 5: the fclusterdata-default criterion, property
+    checked against an independent recursive full-matrix oracle."""
+    rng = np.random.RandomState(23)
+    for trial in range(25):
+        n = rng.randint(1, 14)
+        vals = np.round(rng.rand(n) * 100, 1)
+        t = float(rng.rand() * 1.6)   # coefficients live in [0, ~1.414]
+        got = find_clusters_1d_hierarchical(vals, t, method=method,
+                                            criterion="inconsistent")
+        want = _brute_inconsistent(vals, t, method)
+        assert [list(c) for c in got] == [list(c) for c in want], (
+            method, vals.tolist(), t)
+
+
+def test_hierarchical_inconsistent_hand_case_and_defaults():
+    # 1,2,3 | 50,51,52 | 200: uniform bottom links -> outer links carry
+    # coefficients 1.414 (47 vs {47,1,1}) and 1.0 (148 vs {148,47})
+    vals = np.array([1.0, 2.0, 3.0, 50.0, 51.0, 52.0, 200.0])
+    whole = find_clusters_1d_hierarchical(vals, 1.5)  # bare default kwargs
+    assert [list(c) for c in whole] == [[0, 1, 2, 3, 4, 5, 6]]
+    split = find_clusters_1d_hierarchical(vals, 1.2)
+    assert [sorted(c) for c in split] == [[0, 1, 2], [3, 4, 5], [6]]
+    # depth=1: every window is the link alone -> all coefficients 0
+    flat = find_clusters_1d_hierarchical(vals, 0.0, depth=1)
+    assert [list(c) for c in flat] == [[0, 1, 2, 3, 4, 5, 6]]
 
 
 @given(st.lists(ints), ints)
