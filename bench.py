@@ -51,6 +51,12 @@ def materialize_corpus(spark, n_docs):
     return path
 
 
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return (xs[(n - 1) // 2] + xs[n // 2]) / 2.0
+
+
 def bench_extract(spark, n_docs):
     from pdftabextract_spark.plans.pipeline import (
         PipelineParams, extract_from_span_table)
@@ -70,21 +76,23 @@ def bench_extract(spark, n_docs):
     warm = synth.CorpusParams(seed=43, n_docs=200, n_cols=6)
     extract_from_span_table(synth.span_docs_df(spark, warm), pipe).count()
     spark.catalog.clearCache()
-    # best-of-4 against hypervisor noise (measured wall-clock swings up to
+    # best-of-6 against hypervisor noise (measured wall-clock swings up to
     # 3x between adjacent reps on this VM, and entire best-of windows can
-    # land slow); clear the persisted-plan cache between reps so each rep
-    # measures the FULL pipeline (Spark's cache manager matches identical
-    # plans, which would turn rep 2 into a warm-cache read otherwise)
-    best, n_spans = None, 0
-    for _ in range(4):
+    # land slow — raised from 4 after the r3 official record caught a slow
+    # window); median-of-reps reported alongside so round-over-round
+    # comparisons aren't hostage to one lucky/unlucky rep. Clear the
+    # persisted-plan cache between reps so each rep measures the FULL
+    # pipeline (Spark's cache manager matches identical plans, which would
+    # turn rep 2 into a warm-cache read otherwise)
+    n_reps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS", "6"))
+    reps, n_spans = [], 0
+    for _ in range(n_reps):
         spark.catalog.clearCache()
         t0 = time.time()
         out = extract_from_span_table(span_docs, pipe)
         n_spans = out.count()
-        dt = time.time() - t0
-        if best is None or dt < best:
-            best = dt
-    return best, n_spans
+        reps.append(time.time() - t0)
+    return min(reps), _median(reps), n_spans
 
 
 def image_corpus_path(n_docs):
@@ -123,15 +131,13 @@ def bench_image_extract(spark, n_docs=200):
     pipe = PipelineParams(n_cols=params.n_cols,
                           min_col_width=params.min_col_width,
                           min_row_height=params.min_row_height)
-    best, n_cells = None, 0
+    reps, n_cells = [], 0
     for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.time()
         n_cells = extract_cells_image_path(boxes, pages, media, pipe).count()
-        dt = time.time() - t0
-        if best is None or dt < best:
-            best = dt
-    return best, n_pages, n_cells
+        reps.append(time.time() - t0)
+    return min(reps), _median(reps), n_pages, n_cells
 
 
 def main():
@@ -143,15 +149,17 @@ def main():
     spark = get_spark(app_name="ptx-bench", cores=CPUS,
                       shuffle_partitions=max(CPUS, 8))
 
-    queries = {}
-    dt, n_spans = bench_extract(spark, n_docs)
+    queries, medians = {}, {}
+    dt, dt_med, n_spans = bench_extract(spark, n_docs)
     queries["extract_e2e"] = round(dt, 3)
+    medians["extract_e2e"] = round(dt_med, 3)
     docs_per_sec = round(n_docs / dt, 2)
 
     img_pages = img_pps = None
     if not extract_only:
-        dt_img, img_pages, _ = bench_image_extract(spark)
+        dt_img, dt_img_med, img_pages, _ = bench_image_extract(spark)
         queries["image_e2e"] = round(dt_img, 3)
+        medians["image_e2e"] = round(dt_img_med, 3)
         img_pps = round(img_pages / dt_img, 2)
 
     if not extract_only:
@@ -161,17 +169,16 @@ def main():
                      "q15_minhash_signatures", "q17_simhash",
                      "q18_ngram_jaccard", "q19_cosine_topk",
                      "q20_ann_lsh_buckets", "q07_sessionize"]:
-            # best of 2 — the sandbox hypervisor's throughput swings >3x
+            # best of 3 — the sandbox hypervisor's throughput swings >3x
             # between adjacent minutes; single-shot timings mismeasure
             # the plan (see BENCH/BASELINE.md variance caveat)
-            best = None
-            for _ in range(2):
+            reps = []
+            for _ in range(3):
                 t0 = time.time()
                 qs[name](spark, SF_DIR).count()
-                dt = time.time() - t0
-                if best is None or dt < best:
-                    best = dt
-            queries[name] = round(best, 3)
+                reps.append(time.time() - t0)
+            queries[name] = round(min(reps), 3)
+            medians[name] = round(_median(reps), 3)
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -179,6 +186,11 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # median-of-reps per query: the variance-hardened statistic —
+        # "queries" (best-of) stays the headline for continuity, medians
+        # make round comparisons robust to single noisy windows
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "sf": _sf_tag(SF_DIR),
         "extract_docs": n_docs,
         "extract_spans": n_spans,

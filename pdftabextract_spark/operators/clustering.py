@@ -110,7 +110,8 @@ def cluster_centers_pluggable(df: DataFrame, value_col: str, group_cols,
 
 
 def page_profiles(boxes: DataFrame, col_break_dist: float,
-                  row_break_dist: float) -> DataFrame:
+                  row_break_dist: float,
+                  num_partitions: int = None) -> DataFrame:
     """Fused per-page profile: ONE exchange + ONE Arrow kernel computes,
     per (doc_id, page):
 
@@ -135,12 +136,18 @@ def page_profiles(boxes: DataFrame, col_break_dist: float,
 
     cbd, rbd = float(col_break_dist), float(row_break_dist)
 
-    src = (boxes.select(
+    proj = boxes.select(
         "doc_id", "page", "left", "top",
         (F.col("left") + F.col("width")).alias("right"),
         (F.col("top") + F.col("height")).alias("bottom"))
-        .repartition("doc_id", "page")
-        .sortWithinPartitions("doc_id", "page"))
+    # num_partitions widens the exchange beyond shuffle.partitions so a
+    # single straggler task (hypervisor jitter locally; a slow executor on
+    # a cluster) costs a fraction of a wave instead of a whole wave
+    if num_partitions:
+        proj = proj.repartition(int(num_partitions), "doc_id", "page")
+    else:
+        proj = proj.repartition("doc_id", "page")
+    src = proj.sortWithinPartitions("doc_id", "page")
 
     def _segments(vals_sorted, page_codes_sorted, dist):
         """Sorted-within-page values -> (seg_start, seg_end) bounds where

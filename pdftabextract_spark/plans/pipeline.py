@@ -37,6 +37,11 @@ class PipelineParams:
     pad_y: float = 8.0               # row border = cluster min top - pad_y
     model_dist_thresh: float = None  # pooled-center cluster break dist
     same_size_use_model_arr_diff_thresh: float = None
+    profile_partitions: int = None   # width of the fused profile exchange;
+                                     # None = spark.sql.shuffle.partitions.
+                                     # Set to a small multiple of total
+                                     # cores so one straggler task costs a
+                                     # wave fraction, not a whole wave
 
     @property
     def col_break_dist(self):
@@ -127,7 +132,8 @@ def positions_fused(boxes: DataFrame, params: PipelineParams,
     from ..operators.model import fit_column_model_pooled, repair_page_centers
 
     profiles = page_profiles(boxes, params.col_break_dist,
-                             params.row_break_dist)
+                             params.row_break_dist,
+                             num_partitions=params.profile_partitions)
     if persist:
         from pyspark import StorageLevel
         profiles = profiles.persist(StorageLevel.MEMORY_AND_DISK)

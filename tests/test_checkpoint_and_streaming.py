@@ -58,6 +58,60 @@ def test_checkpoint_resume_idempotent(spark, tmpdirs):
     assert final.select("doc_id", "offset").distinct().count() == n1
 
 
+def test_checkpoint_resume_image_path(spark, tmpdirs):
+    """VERDICT r3 item 6: idempotent resume over the IMAGE extraction DAG
+    (decode -> Hough -> rotation repair -> grid) — mid-run crash leaves a
+    bucket written but unrecorded; the rerun re-extracts exactly that
+    bucket and the final cells table is identical to an uninterrupted
+    direct run."""
+    from pdftabextract_spark.plans.checkpoint import run_with_checkpoint_image
+    from pdftabextract_spark.plans.pipeline import extract_cells_image_path
+
+    out_path, prog_path = tmpdirs
+    params = synth.CorpusParams(seed=77, n_docs=6, n_cols=4,
+                                with_images=True, rotation_deg=1.0,
+                                page_dist=((1, 1.0),))
+    pipe = PipelineParams(n_cols=4, min_col_width=params.min_col_width,
+                          min_row_height=params.min_row_height)
+    boxes = synth.textboxes_df(spark, params)
+    pages = synth.pages_df(spark, params)
+    media = synth.media_df(spark, params)
+
+    def canon(df):
+        return sorted(
+            (r["doc_id"], r["page"], r["row_idx"], r["col_idx"], r["cell_text"])
+            for r in df.select("doc_id", "page", "row_idx", "col_idx",
+                               "cell_text").collect())
+
+    direct = canon(extract_cells_image_path(boxes, pages, media, pipe))
+    assert direct
+
+    r1 = run_with_checkpoint_image(spark, boxes, pages, media, pipe,
+                                   out_path, prog_path, n_buckets=4)
+    assert r1["processed_buckets"] and not r1["resumed_buckets"]
+    assert canon(spark.read.parquet(out_path)) == direct
+
+    # all done -> no-op
+    r2 = run_with_checkpoint_image(spark, boxes, pages, media, pipe,
+                                   out_path, prog_path, n_buckets=4)
+    assert r2["processed_buckets"] == []
+    assert set(r2["resumed_buckets"]) == set(r1["processed_buckets"])
+
+    # crash between output write and progress append: prune one bucket's
+    # progress rows, rerun -> exactly that bucket re-extracted, table
+    # bit-identical to the direct run (homogeneous layout family -> the
+    # pending-subset model fit reproduces the full-corpus model)
+    prog = spark.read.parquet(prog_path)
+    victim = r1["processed_buckets"][0]
+    tmp_prog = prog_path + "_pruned"
+    prog.where(F.col("bucket") != victim).write.mode("overwrite") \
+        .parquet(tmp_prog)
+    r3 = run_with_checkpoint_image(spark, boxes, pages, media, pipe,
+                                   out_path, tmp_prog, n_buckets=4)
+    assert r3["processed_buckets"] == [victim]
+    assert canon(spark.read.parquet(out_path)) == direct
+
+
 def test_streaming_incremental_extract(spark, tmpdirs):
     out_path, _ = tmpdirs
     base = tempfile.mkdtemp(prefix="ptx_stream_")
@@ -86,6 +140,54 @@ def test_streaming_incremental_extract(spark, tmpdirs):
         expected2 = synth.expected_spans_df(
             spark, synth.CorpusParams(seed=43, n_docs=4, n_cols=4)).count()
         assert n2 == expected + expected2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_batch_parity_at_scale(spark):
+    """VERDICT r3 item 7: batch-vs-stream differential at corpus scale —
+    a 10k-doc span corpus drained through >=3 micro-batches must produce
+    span output IDENTICAL (kind, text, media_ref, offset per doc) to one
+    batch run of the same pipeline, and re-triggering with no new input
+    must add nothing (no state/outstanding-work leak)."""
+    from pdftabextract_spark.streaming.stream import incremental_extract
+    from pdftabextract_spark.plans.pipeline import extract_from_span_table
+
+    base = tempfile.mkdtemp(prefix="ptx_parity_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        params = synth.CorpusParams(seed=91, n_docs=10_000, n_cols=4)
+        pipe = PipelineParams(n_cols=4, min_col_width=params.min_col_width,
+                              min_row_height=params.min_row_height)
+        # 64 files at maxFilesPerTrigger=16 -> >= 4 micro-batches
+        synth.span_docs_df(spark, params).repartition(64) \
+            .write.mode("overwrite").parquet(in_dir)
+
+        q = incremental_extract(spark, in_dir, out_dir, ckpt, pipe)
+        q.processAllAvailable()
+        n_stream = spark.read.parquet(out_dir).count()
+        data_batches = [p for p in q.recentProgress
+                        if p["numInputRows"] > 0]
+        assert len(data_batches) >= 3
+
+        # idle re-trigger: no new files -> no new output rows
+        q.processAllAvailable()
+        assert spark.read.parquet(out_dir).count() == n_stream
+        q.stop()
+
+        stream_out = spark.read.parquet(out_dir)
+        batch_out = extract_from_span_table(spark.read.parquet(in_dir), pipe)
+        mismatches = (
+            stream_out.alias("s")
+            .join(batch_out.alias("b"), ["doc_id", "offset"], "full")
+            .where(~(F.col("s.kind").eqNullSafe(F.col("b.kind"))
+                     & F.col("s.text").eqNullSafe(F.col("b.text"))
+                     & F.col("s.media_ref").eqNullSafe(F.col("b.media_ref"))))
+            .count())
+        assert mismatches == 0
+        assert n_stream == batch_out.count() > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
