@@ -444,6 +444,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("doc_id") < 20)
                 .select("doc_id", F.substring("stripped", 1, 80).alias("head80")))
 
+    def q35_repetition_signals(spark, sf):
+        # Gopher-style word n-gram repetition quality signals
+        from pdftabextract_spark.operators.curation import repetition_signals
+        return repetition_signals(_load(spark, sf, "documents"))
+
+    def q36_pattern_census(spark, sf):
+        # named-regex occurrence counts (the PII-scan operator shape);
+        # patterns chosen to actually hit the synthetic corpus
+        from pdftabextract_spark.operators.curation import pattern_census
+        return pattern_census(_load(spark, sf, "documents"),
+                              patterns={"sparkish": "spark|shuffle|batch",
+                                        "vowelend": "[a-z]*[aeiou] ",
+                                        "digitrun": "[0-9][0-9]+"})
+
+    def q37_pack_next_fit(spark, sf):
+        # token-budgeted next-fit sequence packing per source shard
+        from pdftabextract_spark.operators.curation import pack_next_fit
+        return pack_next_fit(_load(spark, sf, "documents"), budget=400)
+
+    def q38_stratified_sample(spark, sf):
+        # deterministic md5-threshold stratified sampling by lang
+        from pdftabextract_spark.operators.curation import stratified_sample
+        return stratified_sample(_load(spark, sf, "documents"),
+                                 rates={"en": 0.5, "de": 0.25}, default_rate=0.125)
+
+    def q39_source_rollup(spark, sf):
+        # per-source curation dashboard: counts, lengths, dup rate
+        from pdftabextract_spark.operators.curation import source_rollup
+        return source_rollup(_load(spark, sf, "documents"))
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q43_html_main_content(spark, sf):
@@ -1063,6 +1093,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN va THEN round(mv, 6) END AS rot_radians,
                    CAST(n_v AS BIGINT) AS n_v, CAST(n_h AS BIGINT) AS n_h
             FROM dec
+        """,
+        "q35_repetition_signals": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                   FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+            tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            bstat AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top FROM
+                      (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+                      GROUP BY 1),
+            tstat AS (SELECT doc_id,
+                             sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup
+                      FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+                      GROUP BY 1)
+            SELECT b.doc_id, round(top, 6) AS top_bigram_frac,
+                   round(dup, 6) AS dup_trigram_frac
+            FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+        """,
+        "q36_pattern_census": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'spark|shuffle|batch')) AS sparkish,
+                   len(regexp_extract_all(text, '[a-z]*[aeiou] ')) AS vowelend,
+                   len(regexp_extract_all(text, '[0-9][0-9]+')) AS digitrun
+            FROM documents
+        """,
+        "q37_pack_next_fit": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, source AS grp,
+                       len(string_split(text, ' ')) AS tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents),
+            rec AS (
+                SELECT doc_id, grp, tokens, rn,
+                       CAST(0 AS BIGINT) AS pack_id, tokens AS acc
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.doc_id, t.grp, t.tokens, t.rn,
+                       CASE WHEN rec.acc + t.tokens > 400
+                            THEN rec.pack_id + 1 ELSE rec.pack_id END,
+                       CASE WHEN rec.acc + t.tokens > 400
+                            THEN t.tokens ELSE rec.acc + t.tokens END
+                FROM rec JOIN t ON t.grp = rec.grp AND t.rn = rec.rn + 1)
+            SELECT doc_id, grp AS "group", CAST(tokens AS BIGINT) AS tokens,
+                   pack_id
+            FROM rec
+        """,
+        "q38_stratified_sample": """
+            SELECT doc_id, lang AS stratum FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang WHEN 'en' THEN '8000'
+                            WHEN 'de' THEN '4000' ELSE '2000' END
+        """,
+        "q39_source_rollup": """
+            WITH base AS (SELECT source, lang, CAST(length(text) AS DOUBLE) AS n,
+                                 md5(text) AS h FROM documents),
+            s AS (SELECT source, count(*) AS n_docs,
+                         count(DISTINCT lang) AS n_langs,
+                         round(avg(n), 6) AS mean_chars,
+                         quantile_cont(n, 0.5) AS med
+                  FROM base GROUP BY 1),
+            d AS (SELECT source,
+                         sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup
+                  FROM (SELECT source, h, count(*) AS c FROM base GROUP BY 1, 2)
+                  GROUP BY 1)
+            SELECT s.source, n_docs, n_langs, mean_chars,
+                   round(med, 6) AS median_chars, round(dup, 6) AS dup_rate
+            FROM s JOIN d ON s.source = d.source
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.

@@ -102,6 +102,9 @@ _k = np.arange(8).reshape(8, 1)
 _x = np.arange(8).reshape(1, 8)
 _DCT_B = np.cos((2 * _x + 1) * _k * np.pi / 16) / 2.0
 _DCT_B[0, :] /= np.sqrt(2.0)
+# flattened 64x64 IDCT operator: _IDCT_M[k*8+y, x*8+u] = B[k,x] * B[y,u],
+# so the per-component IDCT is ONE dense GEMM over all blocks at once
+_IDCT_M = np.kron(_DCT_B, _DCT_B)
 
 
 # ----------------------------------------------------- huffman machinery
@@ -121,6 +124,51 @@ def _build_decode_lut(bits, values):
             code += 1
         code <<= 1
     return lut
+
+
+# fused decode LUT: one 16-bit peek resolves the huffman symbol AND, when
+# code_len + magnitude_bits <= 16, the EXTENDed coefficient value itself —
+# one table probe per coefficient instead of probe + refill + extract.
+# Entry layout (int): bits 0-4 total bits consumed, 5-6 kind
+# (1=full: value included; 2=partial: magnitude still to read; 3=control:
+# EOB / ZRL), 7-11 zero-run, 12+ payload (full: value + 32768;
+# partial: magnitude bit count). 0 = invalid code.
+_FUSED_CACHE = {}
+
+
+def _build_fused_lut(bits, values, is_dc):
+    key = (tuple(bits), tuple(values), is_dc)
+    cached = _FUSED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[vi]; vi += 1
+            lo = code << (16 - length)
+            span = 1 << (16 - length)
+            run, s = (0, sym) if is_dc else (sym >> 4, sym & 15)
+            if not is_dc and sym == 0x00:    # EOB
+                lut[lo:lo + span] = (3 << 5) | length
+            elif not is_dc and sym == 0xF0:  # ZRL
+                lut[lo:lo + span] = (16 << 7) | (3 << 5) | length
+            elif s == 0:                     # DC diff 0 (value known: 0)
+                lut[lo:lo + span] = (32768 << 12) | (run << 7) | (1 << 5) | length
+            elif length + s <= 16:           # magnitude fits the peek
+                idxs = np.arange(lo, lo + span, dtype=np.int64)
+                v = (idxs >> (16 - length - s)) & ((1 << s) - 1)
+                v = np.where(v < (1 << (s - 1)), v - (1 << s) + 1, v)
+                lut[lo:lo + span] = ((v + 32768) << 12) | (run << 7) | \
+                    (1 << 5) | (length + s)
+            else:                            # rare long code: two-step
+                lut[lo:lo + span] = (s << 12) | (run << 7) | (2 << 5) | length
+            code += 1
+        code <<= 1
+    out = lut.tolist()
+    _FUSED_CACHE[key] = out
+    return out
 
 
 def _build_encode_table(bits, values):
@@ -194,7 +242,7 @@ def _parse_segments(data):
                 bits = list(seg[p + 1:p + 17])
                 nv = sum(bits)
                 values = list(seg[p + 17:p + 17 + nv])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_lut(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, values)
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
@@ -270,100 +318,107 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     decode_comps = comps if not luma_only or len(comps) == 1 else comps[:1]
     skip_idx = set(range(len(decode_comps), len(comps)))
 
-    # sparse coefficient triples per component, blocks in MCU order
+    # sparse coefficients per component, blocks in MCU order; each entry
+    # packs (block_index << 24) | (zigzag_k << 18) | (value + 131072) so
+    # the hot loop does ONE list append per coefficient
     n_comp = len(comps)
-    bis = [[] for _ in range(n_comp)]
-    ks = [[] for _ in range(n_comp)]
-    vals = [[] for _ in range(n_comp)]
+    packed = [[] for _ in range(n_comp)]
     blk_counter = [0] * n_comp
 
-    # per-component decode context; huffman LUTs as plain lists (python
-    # list indexing + int bit ops beat numpy scalar indexing ~5x in this
-    # loop) and the bit reader inlined into locals — the entropy decode
-    # is the whole-decoder hot path on multi-MP scans
-    lut_cache = {}
-
-    def as_list(a):
-        key = id(a)
-        if key not in lut_cache:
-            lut_cache[key] = a.tolist()
-        return lut_cache[key]
-
-    comp_ctx = [(as_list(comp.dc_tab), as_list(comp.ac_tab),
+    # per-component decode context; fused huffman LUTs as plain lists
+    # (python list indexing + int bit ops beat numpy scalar indexing ~5x
+    # in this loop, and one fused probe resolves symbol + EXTENDed value
+    # for the overwhelming majority of coefficients) with the bit reader
+    # inlined into locals — the entropy decode is the whole-decoder hot
+    # path on multi-MP scans
+    comp_ctx = [(_build_fused_lut(*comp.dc_tab, True),
+                 _build_fused_lut(*comp.ac_tab, False),
                  blocks_per_mcu[ci], ci in skip_idx,
-                 bis[ci].append, ks[ci].append, vals[ci].append)
+                 packed[ci].append)
                 for ci, comp in enumerate(comps)]
 
     intervals = _split_intervals(data, sstart)
     per_interval = restart if restart else n_mcus
     mcu_done = 0
+    M48 = 0xFFFFFFFFFFFF
     for interval in intervals:
         if mcu_done >= n_mcus:
             break
-        idata = interval
-        ilen = len(idata)
-        pos = 0
+        # halfword stream, 1-padded past the end per spec (a symbol can
+        # overrun the interval tail by < 3 halfwords while draining)
+        pad = interval + b"\xff" * 8
+        u16 = np.frombuffer(pad[:len(pad) & ~1], dtype=">u2").tolist()
+        hw = 0
         buf = 0
         cnt = 0
         preds = [0] * n_comp
         n_here = min(per_interval, n_mcus - mcu_done)
         for _ in range(n_here):
             for ci in range(n_comp):
-                dc_tab, ac_tab, nblk, skip, b_app, k_app, v_app = comp_ctx[ci]
+                dc_tab, ac_tab, nblk, skip, p_app = comp_ctx[ci]
                 pred = preds[ci]
                 for _b in range(nblk):
-                    bi = blk_counter[ci]
-                    blk_counter[ci] = bi + 1
+                    bip = blk_counter[ci] << 24
+                    blk_counter[ci] += 1
                     # DC
-                    while cnt < 16:
-                        buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
-                        pos += 1
-                        cnt += 8
+                    if cnt < 16:
+                        buf = ((buf << 16) | u16[hw]) & M48
+                        hw += 1
+                        cnt += 16
                     e = dc_tab[(buf >> (cnt - 16)) & 0xFFFF]
                     if e == 0:
                         raise ValueError("invalid huffman code (DC)")
                     cnt -= e & 31
-                    s = e >> 5
-                    if s:
+                    if e & 32:              # full: value in the entry
+                        pred += (e >> 12) - 32768
+                    else:                   # long code: read magnitude
+                        s = e >> 12
                         while cnt < s:
-                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
-                            pos += 1
-                            cnt += 8
+                            buf = ((buf << 16) | u16[hw]) & M48
+                            hw += 1
+                            cnt += 16
                         cnt -= s
                         v = (buf >> cnt) & ((1 << s) - 1)
                         pred += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
                     if not skip:
-                        b_app(bi); k_app(0); v_app(pred)
+                        p_app(bip | (pred + 131072))
                     # AC
                     k = 1
                     while k < 64:
-                        while cnt < 16:
-                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
-                            pos += 1
-                            cnt += 8
+                        if cnt < 16:
+                            buf = ((buf << 16) | u16[hw]) & M48
+                            hw += 1
+                            cnt += 16
                         e = ac_tab[(buf >> (cnt - 16)) & 0xFFFF]
                         if e == 0:
                             raise ValueError("invalid huffman code (AC)")
                         cnt -= e & 31
-                        sym = e >> 5
-                        if sym == 0:        # EOB
-                            break
-                        if sym == 0xF0:     # ZRL
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        s = sym & 15
-                        while cnt < s:
-                            buf = ((buf << 8) | (idata[pos] if pos < ilen else 0xFF)) & 0xFFFFFF
-                            pos += 1
-                            cnt += 8
-                        cnt -= s
-                        v = (buf >> cnt) & ((1 << s) - 1)
-                        if v < (1 << (s - 1)):
-                            v += 1 - (1 << s)
-                        if k < 64 and not skip:
-                            b_app(bi); k_app(k); v_app(v)
-                        k += 1
+                        kind = e & 96
+                        if kind == 32:      # full: run + value in the entry
+                            k += (e >> 7) & 31
+                            if k < 64 and not skip:
+                                # value + 131072 == (e >> 12) + 98304
+                                p_app(bip | (k << 18) | ((e >> 12) + 98304))
+                            k += 1
+                        elif kind == 96:    # control
+                            if e & 0x800:   # ZRL
+                                k += 16
+                            else:           # EOB
+                                break
+                        else:               # partial: read magnitude bits
+                            k += (e >> 7) & 31
+                            s = e >> 12
+                            while cnt < s:
+                                buf = ((buf << 16) | u16[hw]) & M48
+                                hw += 1
+                                cnt += 16
+                            cnt -= s
+                            v = (buf >> cnt) & ((1 << s) - 1)
+                            if v < (1 << (s - 1)):
+                                v += 1 - (1 << s)
+                            if k < 64 and not skip:
+                                p_app(bip | (k << 18) | (v + 131072))
+                            k += 1
                 preds[ci] = pred
         mcu_done += n_here
 
@@ -376,17 +431,19 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
             continue
         nb = blk_counter[ci]
         coef = np.zeros((nb, 64), dtype=np.float64)
-        if bis[ci]:
-            flat = np.asarray(bis[ci], dtype=np.int64) * 64 + \
-                inv_zz[np.asarray(ks[ci], dtype=np.int64)]
+        if packed[ci]:
+            arr = np.asarray(packed[ci], dtype=np.int64)
+            kz = (arr >> 18) & 63
+            flat = (arr >> 24) * 64 + inv_zz[kz]
             q = qtabs[comp.tq]  # zigzag order
-            qnat = np.empty(64, dtype=np.int64)
-            qnat[inv_zz] = q
-            coef.ravel()[flat] = np.asarray(vals[ci], dtype=np.float64)
-            coef *= qnat[None, :]
-        blocks = coef.reshape(nb, 8, 8)
-        pix = np.einsum("kx,nky,yu->nxu", _DCT_B, blocks, _DCT_B,
-                        optimize=True) + 128.0
+            # dequantize on the SPARSE coefficients (int64-exact, values
+            # < 2^53) instead of a dense (nb, 64) multiply pass
+            coef.ravel()[flat] = ((arr & 0x3FFFF) - 131072) * q[kz]
+        # one (nb*64) x (64x64) GEMM: pix[n, x*8+u] =
+        # sum_{k,y} coef[n, k*8+y] * B[k,x] * B[y,u]
+        pix = coef @ _IDCT_M
+        pix += 128.0
+        pix = pix.reshape(nb, 8, 8)
         # MCU-order blocks -> raster plane
         cw_b, ch_b = mcus_x * comp.h, mcus_y * comp.v
         plane = np.empty((ch_b * 8, cw_b * 8), dtype=np.float64)
@@ -407,7 +464,9 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
         sy, sx = vmax // comps[0].v, hmax // comps[0].h
         if sy > 1 or sx > 1:
             y = np.repeat(np.repeat(y, sy, axis=0), sx, axis=1)
-        return np.clip(np.round(y[:H, :W]), 0, 255).astype(np.uint8)
+        out = np.rint(y[:H, :W])
+        np.clip(out, 0, 255, out=out)
+        return out.astype(np.uint8)
 
     up = []
     for ci, comp in enumerate(comps):
@@ -421,7 +480,9 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    np.rint(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encode

@@ -1,0 +1,167 @@
+"""Corpus-curation operators for training-data pipelines (first-class
+engine components per the build brief): repetition-based quality signals,
+regex pattern census (the PII-scan shape), token-budgeted sequence
+packing, deterministic stratified sampling, and per-source quality
+rollups. Everything is deterministic and oracle-portable (md5-derived
+randomness, explicit rounding).
+
+Scale notes: every operator here is a narrow projection or a single
+keyed aggregation — no self-joins, no driver-side state. Sequence
+packing is the one genuinely sequential algorithm; it runs per GROUP
+(source shard) inside applyInPandas, which is exactly how a 100 TB
+corpus is packed in practice (per input shard, never one global scan),
+and group skew is bounded by shard size, not corpus size.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+# ------------------------------------------------- repetition signals
+
+def repetition_signals(docs: DataFrame, text_col="text",
+                       id_col="doc_id") -> DataFrame:
+    """Gopher-style word n-gram repetition fractions per document:
+    ``top_bigram_frac`` (share of bigram slots taken by the single most
+    frequent bigram) and ``dup_trigram_frac`` (share of trigram slots
+    whose trigram occurs more than once). High values flag boilerplate /
+    spammy repetition. Documents with < 3 words have no trigram
+    distribution and drop out (mirrored in the SQL oracle). Rounded to
+    6 dp for cross-engine value parity."""
+    ws = F.split(text_col, " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws")) \
+               .where(F.size("ws") >= 3)
+    bigrams = F.expr("transform(sequence(1, size(ws) - 1), "
+                     "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    trigrams = F.expr("transform(sequence(1, size(ws) - 2), "
+                      "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), "
+                      "' ', element_at(ws, i + 2)))")
+    bg = base.select("doc_id", F.explode(bigrams).alias("g")) \
+             .groupBy("doc_id", "g").agg(F.count("*").alias("c")) \
+             .groupBy("doc_id").agg(
+                 (F.max("c") / F.sum("c")).alias("_top"))
+    tg = base.select("doc_id", F.explode(trigrams).alias("g")) \
+             .groupBy("doc_id", "g").agg(F.count("*").alias("c")) \
+             .groupBy("doc_id").agg(
+                 (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                  / F.sum("c")).alias("_dup"))
+    return (bg.join(tg, "doc_id")
+            .select("doc_id",
+                    F.round("_top", 6).alias("top_bigram_frac"),
+                    F.round("_dup", 6).alias("dup_trigram_frac")))
+
+
+# ---------------------------------------------------- pattern census
+
+DEFAULT_PATTERNS = {
+    # the PII-scan shape: email-ish, digit runs, url-ish tokens
+    "emailish": "[a-z0-9]+@[a-z0-9]+",
+    "digitrun": "[0-9][0-9][0-9]+",
+    "urlish": "http[s]?://[a-z]+",
+}
+
+
+def pattern_census(docs: DataFrame, patterns=None, text_col="text",
+                   id_col="doc_id") -> DataFrame:
+    """Per-document occurrence counts for a dict of named regexes — the
+    operator shape behind PII scanning / contamination probes. One
+    projection, JVM regex engine, no shuffle. Patterns must stay in the
+    POSIX-ish subset both Spark (Java) and the DuckDB oracle (RE2)
+    interpret identically: char classes, literals, +, ?."""
+    patterns = patterns or DEFAULT_PATTERNS
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, rx in patterns.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(rx))
+                    .cast("long").alias(name))
+    return docs.select(*cols)
+
+
+# ------------------------------------------------- next-fit packing
+
+def pack_next_fit(docs: DataFrame, budget: int, text_col="text",
+                  id_col="doc_id", group_col="source") -> DataFrame:
+    """Token-budgeted next-fit sequence packing, the training-data step
+    that turns documents into context-window groups: within each
+    ``group_col`` shard, walk documents in ``id_col`` order and append to
+    the current pack while the token sum stays <= budget; else open a new
+    pack. A document larger than the budget gets a pack of its own (it is
+    never split). Returns (doc_id, group, tokens, pack_id) with pack_id
+    dense from 0 per group.
+
+    The sequential walk is per-shard (applyInPandas over the group key) —
+    the 100 TB layout, where packing is shard-local by construction and
+    the shuffle is one exchange on the shard key."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col).alias("grp"),
+                       F.size(F.split(text_col, " ")).cast("long").alias("tokens"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        t = pdf["tokens"].to_numpy()
+        pack = np.empty(len(t), dtype=np.int64)
+        pid, acc = 0, 0
+        for i, v in enumerate(t):
+            v = int(v)
+            if acc > 0 and acc + v > budget:
+                pid += 1
+                acc = 0
+            acc += v
+            pack[i] = pid
+        pdf["pack_id"] = pack
+        return pdf
+
+    out_schema = "doc_id long, grp string, tokens long, pack_id long"
+    return (toks.groupBy("grp").applyInPandas(kernel, schema=out_schema)
+            .select("doc_id", F.col("grp").alias("group"), "tokens", "pack_id"))
+
+
+# -------------------------------------------- deterministic sampling
+
+def stratified_sample(docs: DataFrame, rates: dict, default_rate=0.0,
+                      stratum_col="lang", id_col="doc_id") -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: a document is kept
+    iff the first 4 hex chars of md5(doc_id) fall below the stratum's
+    rate threshold — reproducible across engines and runs, no RNG state,
+    map-only (the 100 TB shape: sampling decisions must be recomputable
+    per row, never stored). Rates are quantized to 1/65536."""
+    u = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    thresh = None
+    for stratum, rate in rates.items():
+        t = F.lit("%04x" % min(65535, int(rate * 65536)))
+        cond = F.col(stratum_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(
+        F.lit("%04x" % min(65535, int(default_rate * 65536)))) if thresh is not None \
+        else F.lit("%04x" % min(65535, int(default_rate * 65536)))
+    return (docs.where(u < thresh)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(stratum_col).alias("stratum")))
+
+
+# ------------------------------------------------- source rollups
+
+def source_rollup(docs: DataFrame, text_col="text", id_col="doc_id",
+                  source_col="source") -> DataFrame:
+    """Per-source curation dashboard: document count, distinct languages,
+    mean and exact median document length, exact-duplicate rate (share of
+    rows whose md5(text) occurs more than once within the source). One
+    aggregation per metric family, merged on the source key."""
+    base = docs.select(F.col(source_col).alias("source"),
+                       F.col(id_col).alias("doc_id"),
+                       F.col("lang"),
+                       F.length(text_col).cast("double").alias("n"),
+                       F.md5(text_col).alias("h"))
+    stats = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n"), 6).alias("mean_chars"),
+        F.expr("percentile(n, 0.5)").alias("median_chars"))
+    dup = (base.groupBy("source", "h").agg(F.count("*").alias("c"))
+           .groupBy("source").agg(
+               (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c")).alias("_dup")))
+    return (stats.join(dup, "source")
+            .select("source", "n_docs", "n_langs", "mean_chars",
+                    F.round("median_chars", 6).alias("median_chars"),
+                    F.round("_dup", 6).alias("dup_rate")))

@@ -1,0 +1,97 @@
+"""Curation operators: repetition signals, pattern census, next-fit
+packing, stratified sampling, source rollups — known-answer tests on
+tiny hand-checkable corpora (the sf0.01 SQL oracles cover them at scale
+via scripts/check_oracle.py / the driver gate)."""
+
+import hashlib
+
+import pytest
+
+from pdftabextract_spark.operators.curation import (
+    pack_next_fit, pattern_census, repetition_signals, source_rollup,
+    stratified_sample)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+def test_repetition_signals_known(spark):
+    docs = _docs(spark, [
+        # bigrams: "a b","b a","a b","b a" -> top 2/4; trigrams:
+        # "a b a","b a b","a b a" -> dup 2/3
+        (1, "a b a b a", "en", "s0"),
+        # all bigrams distinct, all trigrams distinct
+        (2, "w x y z", "en", "s0"),
+        # too short: dropped
+        (3, "a b", "en", "s0"),
+    ])
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[1]["dup_trigram_frac"] == round(2 / 3, 6)
+    assert got[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_trigram_frac"] == 0.0
+
+
+def test_pattern_census_counts(spark):
+    docs = _docs(spark, [(1, "spark shuffle spark and 1234 x9", "en", "s0"),
+                         (2, "no hits here", "en", "s0")])
+    got = {r["doc_id"]: r for r in pattern_census(
+        docs, patterns={"sparky": "spark", "digits": "[0-9][0-9]+"}).collect()}
+    assert got[1]["sparky"] == 2 and got[1]["digits"] == 1
+    assert got[2]["sparky"] == 0 and got[2]["digits"] == 0
+
+
+def test_pack_next_fit_semantics(spark):
+    # tokens: doc1=3, doc2=3, doc3=2, doc4=9 (oversized), doc5=1
+    docs = _docs(spark, [
+        (1, "a b c", "en", "s0"),
+        (2, "d e f", "en", "s0"),
+        (3, "g h", "en", "s0"),
+        (4, "t t t t t t t t t", "en", "s0"),
+        (5, "z", "en", "s0"),
+        (6, "q q q q", "en", "s1"),   # separate shard packs independently
+    ])
+    out = {r["doc_id"]: r for r in pack_next_fit(docs, budget=6).collect()}
+    # shard s0: 3 -> pack0; +3 = 6 fits pack0; 2 opens pack1; 9 > budget
+    # opens its own pack2; 1 opens pack3 (9 + 1 > 6)
+    assert [out[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    assert out[6]["pack_id"] == 0 and out[6]["group"] == "s1"
+    assert out[4]["tokens"] == 9
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, "t", ["en", "de", "fr"][i % 3], "s0") for i in range(300)]
+    docs = _docs(spark, rows)
+    kept = stratified_sample(docs, rates={"en": 0.5, "de": 0.25},
+                             default_rate=0.0).collect()
+    # fr stratum has rate 0 -> nothing kept
+    assert all(r["stratum"] != "fr" for r in kept)
+    # exact decision replicated locally
+    for r in kept:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4]
+        lim = "8000" if r["stratum"] == "en" else "4000"
+        assert h < lim
+    # determinism: same result twice
+    again = stratified_sample(docs, rates={"en": 0.5, "de": 0.25},
+                              default_rate=0.0).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
+
+
+def test_source_rollup_known(spark):
+    docs = _docs(spark, [
+        (1, "aaaa", "en", "s0"),
+        (2, "aaaa", "en", "s0"),   # exact dup of doc 1
+        (3, "bb", "de", "s0"),
+        (4, "cccc", "en", "s1"),
+    ])
+    got = {r["source"]: r for r in source_rollup(docs).collect()}
+    s0 = got["s0"]
+    assert s0["n_docs"] == 3 and s0["n_langs"] == 2
+    assert s0["mean_chars"] == round(10 / 3, 6)
+    assert s0["median_chars"] == 4.0
+    assert s0["dup_rate"] == round(2 / 3, 6)
+    s1 = got["s1"]
+    assert s1["n_docs"] == 1 and s1["dup_rate"] == 0.0
