@@ -42,6 +42,21 @@ class PipelineParams:
                                      # Set to a small multiple of total
                                      # cores so one straggler task costs a
                                      # wave fraction, not a whole wave
+    cache: str = "persist"           # reuse strategy for tables consumed
+                                     # by >1 downstream branch (boxes,
+                                     # profiles, positions): "persist"
+                                     # (MEMORY_AND_DISK columnar — the
+                                     # cluster-safe default: lineage
+                                     # recomputes on executor loss),
+                                     # "checkpoint" (localCheckpoint:
+                                     # row-format cache + lineage cut —
+                                     # builds 4-40x faster than the
+                                     # columnar cache in single-JVM
+                                     # microbenches, but a lost executor
+                                     # kills the job; full-path A/B on
+                                     # this host is swamped by 10x
+                                     # hypervisor drift), or "none"
+                                     # (recompute per branch)
 
     @property
     def col_break_dist(self):
@@ -55,6 +70,23 @@ class PipelineParams:
     def model_break_dist(self):
         return self.model_dist_thresh if self.model_dist_thresh is not None \
             else self.min_col_width / 2
+
+
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Materialization for frames consumed by multiple downstream
+    branches. ``checkpoint`` = localCheckpoint (lazy): caches the
+    internal rows and truncates lineage — no columnar re-encode, which
+    on this host intermittently costs 10x the scan it saves; recovery
+    on executor loss is a job retry (acceptable: the engine's jobs are
+    idempotent and externally checkpointed, plans/checkpoint.py).
+    ``persist`` = classic MEMORY_AND_DISK columnar cache (recomputable
+    lineage). ``none`` = no reuse."""
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode == "persist":
+        from pyspark import StorageLevel
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
 
 
 def page_extents(boxes: DataFrame) -> DataFrame:
@@ -135,8 +167,7 @@ def positions_fused(boxes: DataFrame, params: PipelineParams,
                              params.row_break_dist,
                              num_partitions=params.profile_partitions)
     if persist:
-        from pyspark import StorageLevel
-        profiles = profiles.persist(StorageLevel.MEMORY_AND_DISK)
+        profiles = _materialize(profiles, params.cache)
     pooled = profiles.select(
         F.explode(F.transform(
             "col_centers",
@@ -176,17 +207,15 @@ def extract_cells(boxes: DataFrame, params: PipelineParams,
     # common.py:138-141) — Catalyst pushes this into the source scan
     boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
     if persist:
-        from pyspark import StorageLevel
         # NOTE: measured local[8]@sf0.01 — an explicit
         # repartition("doc_id","page") before persist costs more (extra
         # eager exchange + broken AQE broadcast choices downstream) than
-        # the exchanges it saves; persist unpartitioned and let AQE
+        # the exchanges it saves; materialize unpartitioned and let AQE
         # plan each branch
-        boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
+        boxes = _materialize(boxes, params.cache)
     positions = positions_fused(boxes, params, persist)
     if persist:
-        from pyspark import StorageLevel
-        positions = positions.persist(StorageLevel.MEMORY_AND_DISK)
+        positions = _materialize(positions, params.cache)
     packed = assign_and_pack_from(boxes, positions, page_contiguous)
     # long form for callers/tests; pure JVM explode off the packed rows —
     # no shuffle (the packed kernel already did the heavy lifting)
@@ -206,8 +235,7 @@ def extract_cells_packed(boxes: DataFrame, params: PipelineParams,
     the span assembler consumes without any further wide shuffle."""
     boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
     if persist:
-        from pyspark import StorageLevel
-        boxes = boxes.persist(StorageLevel.MEMORY_AND_DISK)
+        boxes = _materialize(boxes, params.cache)
     positions = positions_fused(boxes, params, persist)
     return assign_and_pack_from(boxes, positions, page_contiguous)
 
@@ -247,8 +275,7 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
 
     boxes_fixed = rotate_boxes_back(boxes, rotations)
     if persist:
-        from pyspark import StorageLevel
-        boxes_fixed = boxes_fixed.persist(StorageLevel.MEMORY_AND_DISK)
+        boxes_fixed = _materialize(boxes_fixed, params.cache)
 
     lines_fixed = apply_rotation_to_lines(filtered)
 
@@ -257,9 +284,8 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
     # catalog_30s.py:46,161-166)
     centers = line_border_centers(lines_fixed, pages, "v", params.col_break_dist)
     if persist:
-        from pyspark import StorageLevel
         # consumed twice: the model-fit probe action and the repair join
-        centers = centers.persist(StorageLevel.MEMORY_AND_DISK)
+        centers = _materialize(centers, params.cache)
     repaired = fit_and_repair(
         centers, params.n_cols + 1, params.model_break_dist,
         same_size_use_model_arr_diff_thresh=params.same_size_use_model_arr_diff_thresh)
