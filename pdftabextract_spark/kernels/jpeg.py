@@ -6,15 +6,17 @@ examples run Hough-line detection on JPEG page scans
 restart intervals, grayscale and YCbCr 4:2:0). This module decodes those:
 
 - baseline sequential DCT (SOF0), 8-bit precision
+- progressive DCT (SOF2): spectral selection + successive approximation
+  on DC and AC, EOB runs, interleaved and non-interleaved scans
 - 1 component (grayscale) or 3 components (JFIF YCbCr), sampling
   factors 1x1 / 2x1 / 1x2 / 2x2 (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0)
 - restart intervals (DRI / RSTn)
-- huffman decode via a 16-bit peek lookup table (one table probe per
-  symbol), coefficients collected sparsely and IDCT'd vectorized
-  (matrix-product 8x8 IDCT over all blocks at once)
+- huffman decode via a fused 16-bit peek lookup table (one table probe
+  resolves symbol + EXTENDed value for most coefficients), coefficients
+  collected sparsely and IDCT'd as one (n*64)x(64x64) GEMM
 
-Not supported (raise NotImplementedError): progressive (SOF2),
-arithmetic coding, 12-bit precision, 4-component CMYK.
+Not supported (raise NotImplementedError): arithmetic coding, 12-bit
+precision, 4-component CMYK, hierarchical (SOF3+).
 
 Parity note: libjpeg (what cv2.imread wraps) uses a fixed-point IDCT and
 "fancy" chroma upsampling; this decoder uses the exact float IDCT and
@@ -24,9 +26,11 @@ to that by construction, and for the gray path the chroma choice is
 irrelevant: BT.601 luma of the reconstructed RGB is algebraically the Y
 channel again.
 
-The encoder (encode_jpeg) is a test oracle for the decoder (roundtrip
-within quantization error) and a sink codec: baseline, standard Annex-K
-tables scaled by quality, grayscale or YCbCr 4:4:4.
+The encoders are test oracles for the decoder and sink codecs:
+encode_jpeg (baseline, grayscale or YCbCr 4:4:4) and
+encode_jpeg_progressive (SOF2 scan script with successive approximation;
+4:4:4 or 4:2:0) — both quantize identically, so progressive and baseline
+streams of the same image must decode pixel-identically.
 """
 
 import struct
@@ -297,6 +301,8 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     and BT.601 luma of the decoded RGB equals Y up to rounding/clipping).
     """
     data = bytes(data)
+    if _sof_type(data) == 0xC2:
+        return _decode_progressive(data, luma_only)
     qtabs, huff_dc, huff_ac, frame, scan, restart, sstart = _parse_segments(data)
     if frame is None:
         raise ValueError("no SOF before SOS")
@@ -456,8 +462,13 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
         p4[by, :, bx, :] = pix
         planes.append(plane)
 
+    return _assemble_output(planes, comps, H, W, hmax, vmax, luma_only)
+
+
+def _assemble_output(planes, comps, H, W, hmax, vmax, luma_only):
+    """Component planes (float, block-padded, None for skipped chroma) ->
+    uint8 output: luma crop or pixel-replication upsample + BT.601."""
     if len(comps) == 1 or luma_only:
-        comp = comps[0]
         y = planes[0]
         # luma plane covers H*v/vmax x W*h/hmax at component resolution;
         # for luma_only with subsampled chroma the Y plane is full-res
@@ -483,6 +494,360 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     np.rint(rgb, out=rgb)
     np.clip(rgb, 0, 255, out=rgb)
     return rgb.astype(np.uint8)
+
+
+# ----------------------------------------------------------- progressive
+
+def _sof_type(data):
+    """Marker of the frame header (0xC0/0xC1 baseline, 0xC2 progressive,
+    ...), walking the pre-scan marker stream only."""
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD9, 0xDA):
+            return None
+        i += 2 + struct.unpack(">H", data[i + 2:i + 4])[0]
+    return None
+
+
+def _entropy_end(data, i):
+    """First offset >= i holding a real marker (not a stuffed 0xFF00 or a
+    restart)."""
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return n
+        m = data[j + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+def _parse_progressive(data):
+    """Walk ALL markers of a progressive stream. Returns (qtabs, frame,
+    scans); each scan = (comp_indices, dc_specs, ac_specs, Ss, Se, Ah,
+    Al, restart, intervals) with huffman specs snapshotted at scan time
+    (tables may be redefined between scans)."""
+    import re
+    qtabs = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart = 0
+    scans = []
+    if data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 2 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("marker desync at offset %d" % i)
+        marker = data[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qtabs[tq] = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    qtabs[tq] = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, list(seg[p + 17:p + 17 + nv]))
+                p += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = seg[6 + 3 * c]
+                comp.h = seg[7 + 3 * c] >> 4
+                comp.v = seg[7 + 3 * c] & 0x0F
+                comp.tq = seg[8 + 3 * c]
+                comps.append(comp)
+            frame = (h, w, comps)
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            cis, dcs, acs = [], [], []
+            for c in range(ns):
+                cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                ci = next(j for j, cc in enumerate(frame[2]) if cc.cid == cs)
+                cis.append(ci)
+                dcs.append(huff_dc.get(tabs >> 4))
+                acs.append(huff_ac.get(tabs & 0x0F))
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            AhAl = seg[3 + 2 * ns]
+            start = i + 2 + ln
+            end = _entropy_end(data, start)
+            body = data[start:end]
+            intervals = [p.replace(b"\xff\x00", b"\xff")
+                         for p in re.split(b"\xff[\xd0-\xd7]", body)]
+            scans.append((cis, dcs, acs, Ss, Se, AhAl >> 4, AhAl & 15,
+                          restart, intervals))
+            i = end
+            continue
+        i += 2 + ln
+    if frame is None:
+        raise ValueError("no SOF2 frame")
+    return qtabs, frame, scans
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes (halfword loads,
+    1-padding past the end). Used by the progressive path, where scans
+    are many and short — clarity over the baseline loop's raw locals."""
+    __slots__ = ("u16", "hw", "buf", "cnt")
+
+    def __init__(self, interval):
+        pad = interval + b"\xff" * 8
+        self.u16 = np.frombuffer(pad[:len(pad) & ~1], dtype=">u2").tolist()
+        self.hw = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def bits(self, n):
+        while self.cnt < n:
+            self.buf = ((self.buf << 16) | self.u16[self.hw]) & 0xFFFFFFFFFFFF
+            self.hw += 1
+            self.cnt += 16
+        self.cnt -= n
+        return (self.buf >> self.cnt) & ((1 << n) - 1)
+
+    def huff(self, lut):
+        if self.cnt < 16:
+            self.buf = ((self.buf << 16) | self.u16[self.hw]) & 0xFFFFFFFFFFFF
+            self.hw += 1
+            self.cnt += 16
+        e = lut[(self.buf >> (self.cnt - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        self.cnt -= e & 31
+        return e
+
+
+def _decode_progressive(data, luma_only=False):
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation, huffman only. Coefficients accumulate across scans in
+    per-component zigzag-order arrays; dequant + IDCT run once at the
+    end through the same GEMM path as baseline."""
+    qtabs, frame, scans = _parse_progressive(data)
+    H, W, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component JPEG")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    # per-component coefficient store, RASTER block order, zigzag k;
+    # flat python list (scalar updates dominate progressive decode)
+    dims = []
+    coef = []
+    for comp in comps:
+        cw_b, ch_b = mcus_x * comp.h, mcus_y * comp.v
+        # non-interleaved scans cover only ceil(comp_resolution/8) blocks
+        comp_w = -(-W * comp.h // hmax)
+        comp_h = -(-H * comp.v // vmax)
+        nw, nh = -(-comp_w // 8), -(-comp_h // 8)
+        dims.append((cw_b, ch_b, nw, nh))
+        coef.append([0] * (cw_b * ch_b * 64))
+
+    for cis, dcs, acs, Ss, Se, Ah, Al, restart, intervals in scans:
+        if Ss == 0:
+            if Se != 0:
+                raise ValueError(
+                    "malformed progressive scan: Ss=0 requires Se=0 "
+                    "(a baseline scan header under an SOF2 marker)")
+            _prog_dc_scan(coef, dims, comps, cis, dcs, Ah, Al,
+                          mcus_x, mcus_y, n_mcus, restart, intervals)
+        else:
+            if len(cis) != 1:
+                raise ValueError("progressive AC scans must be "
+                                 "non-interleaved (one component)")
+            _prog_ac_scan(coef[cis[0]], dims[cis[0]], acs[0],
+                          Ss, Se, Ah, Al, restart, intervals)
+
+    decode_comps = comps if not luma_only or len(comps) == 1 else comps[:1]
+    skip_idx = set(range(len(decode_comps), len(comps)))
+    planes = []
+    inv_zz = ZIGZAG
+    for ci, comp in enumerate(comps):
+        if ci in skip_idx:
+            planes.append(None)
+            continue
+        cw_b, ch_b, _, _ = dims[ci]
+        nb = cw_b * ch_b
+        zz = np.asarray(coef[ci], dtype=np.int64).reshape(nb, 64)
+        q = qtabs[comp.tq]          # zigzag order
+        nat = np.zeros((nb, 64), dtype=np.float64)
+        nat[:, inv_zz] = zz * q[None, :]
+        pix = nat @ _IDCT_M
+        pix += 128.0
+        # raster block order -> plane directly
+        plane = np.ascontiguousarray(
+            pix.reshape(ch_b, cw_b, 8, 8).transpose(0, 2, 1, 3)
+        ).reshape(ch_b * 8, cw_b * 8)
+        planes.append(plane)
+    return _assemble_output(planes, comps, H, W, hmax, vmax, luma_only)
+
+
+def _prog_dc_scan(coef, dims, comps, cis, dcs, Ah, Al,
+                  mcus_x, mcus_y, n_mcus, restart, intervals):
+    """DC scan: first pass (Ah=0) huffman-codes point-transformed diffs;
+    refinement (Ah>0) appends one bit per block."""
+    interleaved = len(cis) > 1
+    if interleaved:
+        units_total = n_mcus
+    else:
+        _, _, nw, nh = dims[cis[0]]
+        units_total = nw * nh
+    luts = [(_build_fused_lut(*dcs[k], True) if Ah == 0 else None)
+            for k in range(len(cis))]
+    per_interval = restart if restart else units_total
+    done = 0
+    p1 = 1 << Al
+    for interval in intervals:
+        if done >= units_total:
+            break
+        br = _BitReader(interval)
+        preds = [0] * len(cis)
+        n_here = min(per_interval, units_total - done)
+        for u in range(done, done + n_here):
+            for k, ci in enumerate(cis):
+                comp = comps[ci]
+                cw_b = dims[ci][0]
+                if interleaved:
+                    mx, my = u % mcus_x, u // mcus_x
+                    blocks = [( (my * comp.v + dy) * cw_b + mx * comp.h + dx)
+                              for dy in range(comp.v) for dx in range(comp.h)]
+                else:
+                    nw = dims[ci][2]
+                    blocks = [(u // nw) * cw_b + (u % nw)]
+                for bi in blocks:
+                    if Ah == 0:
+                        e = br.huff(luts[k])
+                        if e & 32:
+                            preds[k] += (e >> 12) - 32768
+                        else:
+                            s = e >> 12
+                            v = br.bits(s)
+                            preds[k] += v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        coef[ci][bi * 64] = preds[k] << Al
+                    else:
+                        if br.bits(1):
+                            coef[ci][bi * 64] |= p1
+        done += n_here
+
+
+def _prog_ac_scan(coef, dim, ac_spec, Ss, Se, Ah, Al, restart, intervals):
+    """AC scan (always single-component, non-interleaved): first pass
+    (Ah=0) codes point-transformed coefficients with EOB-run symbols;
+    refinement (Ah>0) follows the T.81 G.1.2.3 correction-bit procedure."""
+    cw_b, ch_b, nw, nh = dim
+    units_total = nw * nh
+    lut = _build_decode_lut(*ac_spec).tolist()
+    per_interval = restart if restart else units_total
+    done = 0
+    p1 = 1 << Al
+    m1 = (-1) << Al
+    for interval in intervals:
+        if done >= units_total:
+            break
+        br = _BitReader(interval)
+        eobrun = 0
+        n_here = min(per_interval, units_total - done)
+        for u in range(done, done + n_here):
+            base = ((u // nw) * cw_b + (u % nw)) * 64
+            if Ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    e = br.huff(lut)
+                    sym = e >> 5
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    v = br.bits(s)
+                    if v < (1 << (s - 1)):
+                        v += 1 - (1 << s)
+                    if k <= Se:
+                        coef[base + k] = v << Al
+                    k += 1
+            else:
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        e = br.huff(lut)
+                        sym = e >> 5
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15: skip 16 zero-history positions
+                        else:
+                            val = p1 if br.bits(1) else m1
+                        while k <= Se:
+                            c = coef[base + k]
+                            if c != 0:
+                                if br.bits(1) and (c & p1) == 0:
+                                    coef[base + k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= Se:
+                            coef[base + k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        c = coef[base + k]
+                        if c != 0:
+                            if br.bits(1) and (c & p1) == 0:
+                                coef[base + k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        done += n_here
 
 
 # ---------------------------------------------------------------- encode
@@ -641,4 +1006,252 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
             preds[ci] = _encode_blocks(bw, zz[ci][b:b + 1], dc_t, ac_t, preds[ci])
     bw.flush()
     out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# complete huffman spec usable for every progressive symbol: symbols
+# 0..254 at code length 8, symbol 255 at length 9 (the all-ones length-9
+# code stays unused per T.81). Deliberately simple, not size-optimized —
+# this encoder is the progressive DECODER's test oracle, emitting the
+# same quantized coefficients as the baseline encoder through a
+# DC + banded-AC successive-approximation scan script.
+_HUFF_ALL = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(256)))
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB -> progressive (SOF2)
+    baseline-huffman JPEG (Annex-K quant tables scaled by quality;
+    4:4:4, or 4:2:0 with ``subsample`` for color). Scan script:
+    interleaved DC at Al=1; per component AC bands (1-5) and (6-63) at
+    Al=1; per component AC refinements of both bands to Al=0;
+    interleaved DC refinement to Al=0 — exercising spectral selection,
+    EOB runs, and successive approximation on both DC and AC. At 4:4:4,
+    decode_jpeg of this stream equals decode_jpeg of encode_jpeg's
+    baseline stream pixel-for-pixel (same coefficients); at 4:2:0 the
+    tests pin the decoded coefficient arrays against this encoder's."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    gray = a.ndim == 2
+    H, W = a.shape[:2]
+    qy = _scale_qtab(QTAB_LUMA.ravel()[ZIGZAG], quality)
+    qc = _scale_qtab(QTAB_CHROMA.ravel()[ZIGZAG], quality)
+    qy_nat = np.empty(64, dtype=np.int64); qy_nat[ZIGZAG] = qy
+    qc_nat = np.empty(64, dtype=np.int64); qc_nat[ZIGZAG] = qc
+
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * 3
+    hmax = max(h for h, v in samp)
+    vmax = max(v for h, v in samp)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+
+    if gray:
+        planes = [(a.astype(np.float64), qy_nat)]
+    else:
+        f = a.astype(np.float64)
+        y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+        cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+        planes = [(y, qy_nat), (cb, qc_nat), (cr, qc_nat)]
+    zz, geom = [], []
+    for (p, qn), (hi, vi) in zip(planes, samp):
+        if (hi, vi) != (hmax, vmax):
+            p = p[::vmax // vi, ::hmax // hi]  # decimation downsample
+        cw_b, ch_b = mcus_x * hi, mcus_y * vi
+        p = np.pad(p, ((0, ch_b * 8 - p.shape[0]), (0, cw_b * 8 - p.shape[1])),
+                   mode="edge")
+        zz.append(_fdct_quant(p, qn.reshape(8, 8)))
+        comp_w = -(-W * hi // hmax)
+        comp_h = -(-H * vi // vmax)
+        geom.append((hi, vi, cw_b, -(-comp_w // 8), -(-comp_h // 8)))
+    nc = len(zz)
+
+    def dc_block_order():
+        """(ci, block_index) pairs in interleaved-MCU scan order."""
+        for m in range(mcus_x * mcus_y):
+            mx, my = m % mcus_x, m // mcus_x
+            for ci in range(nc):
+                hi, vi, cw_b, _, _ = geom[ci]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        yield ci, (my * vi + dy) * cw_b + mx * hi + dx
+
+    def ac_block_order(ci):
+        """Non-interleaved raster over the component's own block grid."""
+        hi, vi, cw_b, nw, nh = geom[ci]
+        for u in range(nw * nh):
+            yield (u // nw) * cw_b + (u % nw)
+
+    table = _build_encode_table(*_HUFF_ALL)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qy.astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, H, W, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, (samp[c][0] << 4) | samp[c][1], 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    bits, values = _HUFF_ALL
+    payload = bytes([0x00]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    payload = bytes([0x10]) + bytes(bits) + bytes(values)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos_header(comp_ids, Ss, Se, Ah, Al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def sym(bw, s):
+        c, ln = table[s]
+        bw.write(c, ln)
+
+    # --- scan 1: interleaved DC, Al=1 (point transform = arith shift)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, b in dc_block_order():
+        v = int(zz[ci][b, 0]) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        sym(bw, s)
+        if s:
+            vv = diff if diff > 0 else diff + (1 << s) - 1
+            bw.write(vv & ((1 << s) - 1), s)
+    bw.flush()
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1) + bw.out
+
+    # --- AC first passes per component, Al=1, bands (1,5) and (6,63)
+    def ac_first(ci, Ss, Se, Al):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                sym(bw, n << 4)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for b in ac_block_order(ci):
+            r = 0
+            for k in range(Ss, Se + 1):
+                t = int(zz[ci][b, k])
+                av = abs(t) >> Al
+                if av == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    sym(bw, 0xF0)
+                    r -= 16
+                s = av.bit_length()
+                sym(bw, (r << 4) | s)
+                v = av if t > 0 else -av
+                vv = v if v > 0 else v + (1 << s) - 1
+                bw.write(vv & ((1 << s) - 1), s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        return bw.out
+
+    # --- AC refinement per component, Ah=1 -> Al=0 (T.81 G.1.2.3).
+    # Correction bits ride AFTER the symbol they belong to; ``pend`` holds
+    # the outstanding bits with ``be`` marking the prefix attached to the
+    # pending EOB run (libjpeg's BE/BR split) — the suffix belongs to the
+    # current block and is flushed after its next ZRL / run-1 symbol.
+    def ac_refine(ci, Ss, Se):
+        bw = _BitWriter()
+        eobrun = 0
+        pend = []
+        be = 0
+
+        def flush_all():
+            for bit in pend:
+                bw.write(bit, 1)
+            pend.clear()
+
+        def emit_eobrun():
+            nonlocal eobrun, be
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                sym(bw, n << 4)
+                if n:
+                    bw.write(eobrun - (1 << n), n)
+                for bit in pend[:be]:
+                    bw.write(bit, 1)
+                del pend[:be]
+                eobrun = 0
+            be = 0
+
+        for b in ac_block_order(ci):
+            row = zz[ci][b]
+            absv = [abs(int(row[k])) for k in range(Se + 1)]
+            eob_pos = 0
+            for k in range(Ss, Se + 1):
+                if absv[k] == 1:
+                    eob_pos = k
+            r = 0
+            for k in range(Ss, Se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    emit_eobrun()
+                    sym(bw, 0xF0)
+                    flush_all()
+                    r -= 16
+                if t > 1:
+                    pend.append(t & 1)
+                    continue
+                emit_eobrun()
+                sym(bw, (r << 4) | 1)
+                bw.write(1 if int(row[k]) > 0 else 0, 1)
+                flush_all()
+                r = 0
+            if r > 0 or pend:
+                eobrun += 1
+                be = len(pend)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        return bw.out
+
+    for ci in range(nc):
+        for (Ss, Se) in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], Ss, Se, 0, 1) + ac_first(ci, Ss, Se, 1)
+    for ci in range(nc):
+        for (Ss, Se) in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], Ss, Se, 1, 0) + ac_refine(ci, Ss, Se)
+
+    # --- final scan: interleaved DC refinement Ah=1 -> Al=0
+    bw = _BitWriter()
+    for ci, b in dc_block_order():
+        bw.write(int(zz[ci][b, 0]) & 1, 1)
+    bw.flush()
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0) + bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

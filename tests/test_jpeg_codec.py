@@ -62,11 +62,13 @@ def test_sharp_page_like_content():
     assert np.abs(dec.astype(int) - page.astype(int)).mean() < 2.0
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_rejected():
+    # progressive (SOF2) is supported now (tests/test_jpeg_progressive.py);
+    # lossless sequential (SOF3) is not and must raise loudly
     rng = np.random.default_rng(3)
     buf = bytearray(encode_jpeg(_noisy_gradient(rng, 32, 32)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    buf[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
 
