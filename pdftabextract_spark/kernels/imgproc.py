@@ -95,7 +95,11 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     # big scans (2026-08-17).
     cos_t = np.cos(thetas).astype(np.float32)
     sin_t = np.sin(thetas).astype(np.float32)
-    acc = np.empty((n_theta, n_rho), dtype=np.int64)
+    # int32 accumulator: half the memory traffic of int64 in the
+    # peak-finding comparisons below (this host is bandwidth-bound under
+    # 32-way contention); vote counts are bounded by the edge-pixel
+    # count of one page, far below 2^31
+    acc = np.empty((n_theta, n_rho), dtype=np.int32)
     v = np.empty_like(xf)
     tmp = np.empty_like(xf)
     idx = np.empty(len(xf), dtype=np.int32)
