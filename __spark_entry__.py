@@ -474,6 +474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdftabextract_spark.operators.curation import source_rollup
         return source_rollup(_load(spark, sf, "documents"))
 
+    def q44_fixed_size_sample(spark, sf):
+        # deterministic md5-ranked fixed-size sample per stratum
+        from pdftabextract_spark.operators.curation import fixed_size_sample
+        return fixed_size_sample(_load(spark, sf, "documents"), n=10)
+
+    def q45_vocab_stats(spark, sf):
+        # corpus vocabulary: top-20 words by document frequency
+        from pdftabextract_spark.operators.curation import vocab_stats
+        return vocab_stats(_load(spark, sf, "documents"), top_n=20)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q43_html_main_content(spark, sf):
@@ -1161,6 +1171,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.source, n_docs, n_langs, mean_chars,
                    round(med, 6) AS median_chars, round(dup, 6) AS dup_rate
             FROM s JOIN d ON s.source = d.source
+        """,
+        "q44_fixed_size_sample": """
+            SELECT doc_id, stratum, rank FROM (
+                SELECT doc_id, lang AS stratum,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS rank
+                FROM documents)
+            WHERE rank <= 10
+        """,
+        "q45_vocab_stats": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            s AS (SELECT w, count(DISTINCT doc_id) AS df, count(*) AS cf
+                  FROM w WHERE w <> '' GROUP BY 1)
+            SELECT w, df, cf FROM s
+            ORDER BY df DESC, cf DESC, w LIMIT 20
         """,
         # q40/q41: pipeline-level span extraction — no SQL-expressible oracle
         # (multi-stage model fit + kernel assignment); driver rows-only check.

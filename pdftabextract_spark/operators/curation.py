@@ -165,3 +165,38 @@ def source_rollup(docs: DataFrame, text_col="text", id_col="doc_id",
             .select("source", "n_docs", "n_langs", "mean_chars",
                     F.round("median_chars", 6).alias("median_chars"),
                     F.round("_dup", 6).alias("dup_rate")))
+
+
+def fixed_size_sample(docs: DataFrame, n: int, stratum_col="lang",
+                      id_col="doc_id") -> DataFrame:
+    """Deterministic fixed-size sample per stratum: rank rows by
+    md5(doc_id) inside each stratum and keep the first ``n`` — a
+    reproducible substitute for reservoir sampling whose membership is
+    stable under corpus growth ONLY for the ranked prefix (unlike
+    rate-based stratified_sample, which is fully append-stable but
+    yields a size only in expectation). One window per stratum, no
+    driver state."""
+    u = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(stratum_col).orderBy(u, id_col)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(stratum_col).alias("stratum"),
+                        F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= n)
+            .select("doc_id", "stratum", F.col("rank").cast("long").alias("rank")))
+
+
+def vocab_stats(docs: DataFrame, top_n: int = 20, text_col="text",
+                id_col="doc_id") -> DataFrame:
+    """Corpus vocabulary dashboard: the ``top_n`` words by document
+    frequency with collection frequency alongside (ties broken by word
+    for determinism). Word explode -> two-level aggregation with
+    map-side partials; the result is top_n rows regardless of corpus
+    size."""
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(text_col, " ")).alias("w")) \
+                .where(F.col("w") != "")
+    stats = words.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"))
+    return (stats.orderBy(F.col("df").desc(), F.col("cf").desc(), F.col("w"))
+            .limit(top_n))

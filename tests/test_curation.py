@@ -95,3 +95,36 @@ def test_source_rollup_known(spark):
     assert s0["dup_rate"] == round(2 / 3, 6)
     s1 = got["s1"]
     assert s1["n_docs"] == 1 and s1["dup_rate"] == 0.0
+
+
+def test_fixed_size_sample_deterministic(spark):
+    from pdftabextract_spark.operators.curation import fixed_size_sample
+    rows = [(i, "t", ["en", "de"][i % 2], "s0") for i in range(100)]
+    docs = _docs(spark, rows)
+    got = fixed_size_sample(docs, n=5).collect()
+    # exactly 5 per stratum, rank 1..5, and the md5 ordering replicated
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    for stratum, rs in by_stratum.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        ids = [i for i in range(100) if ["en", "de"][i % 2] == stratum]
+        expect = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+        assert sorted(r["doc_id"] for r in rs) == sorted(expect)
+    # stable across runs
+    again = fixed_size_sample(docs, n=5).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in got) == \
+        sorted((r["doc_id"], r["rank"]) for r in again)
+
+
+def test_vocab_stats_known(spark):
+    from pdftabextract_spark.operators.curation import vocab_stats
+    docs = _docs(spark, [
+        (1, "a a b c", "en", "s0"),
+        (2, "a b b", "en", "s0"),
+        (3, "c", "en", "s0"),
+    ])
+    got = vocab_stats(docs, top_n=3).collect()
+    # df: a=2 b=2 c=2; cf: a=3 b=3 c=2; ties by word
+    assert [(r["w"], r["df"], r["cf"]) for r in got] == \
+        [("a", 2, 3), ("b", 2, 3), ("c", 2, 2)]
