@@ -8,15 +8,16 @@ restart intervals, grayscale and YCbCr 4:2:0). This module decodes those:
 - baseline sequential DCT (SOF0), 8-bit precision
 - progressive DCT (SOF2): spectral selection + successive approximation
   on DC and AC, EOB runs, interleaved and non-interleaved scans
-- 1 component (grayscale) or 3 components (JFIF YCbCr), sampling
-  factors 1x1 / 2x1 / 1x2 / 2x2 (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0)
+- 1 component (grayscale), 3 components (JFIF YCbCr), or 4 components
+  (Adobe CMYK / YCCK via the APP14 transform flag, baseline only);
+  sampling factors 1x1 / 2x1 / 1x2 / 2x2 (4:4:4, 4:2:2, 4:4:0, 4:2:0)
 - restart intervals (DRI / RSTn)
 - huffman decode via a fused 16-bit peek lookup table (one table probe
   resolves symbol + EXTENDed value for most coefficients), coefficients
   collected sparsely and IDCT'd as one (n*64)x(64x64) GEMM
 
 Not supported (raise NotImplementedError): arithmetic coding, 12-bit
-precision, 4-component CMYK, hierarchical (SOF3+).
+precision, progressive CMYK, hierarchical (SOF3+).
 
 Parity note: libjpeg (what cv2.imread wraps) uses a fixed-point IDCT and
 "fancy" chroma upsampling; this decoder uses the exact float IDCT and
@@ -207,11 +208,14 @@ class _Component:
 
 def _parse_segments(data):
     """Walk markers up to SOS. Returns (qtabs, huff_dc, huff_ac, frame,
-    scan_comps, restart_interval, scan_start)."""
+    scan_comps, restart_interval, scan_start, adobe_transform).
+    adobe_transform: APP14 color-transform flag (None if no Adobe
+    marker; 0 = untransformed CMYK/RGB, 1 = YCbCr, 2 = YCCK)."""
     qtabs = {}
     huff_dc, huff_ac = {}, {}
     frame = None
     restart = 0
+    adobe = None
     i = 0
     if data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -269,13 +273,15 @@ def _parse_segments(data):
                 "got SOF marker 0x%02X" % marker)
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe = seg[11]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tabs >> 4, tabs & 0x0F))
-            return qtabs, huff_dc, huff_ac, frame, scan, restart, i + 2 + ln
+            return qtabs, huff_dc, huff_ac, frame, scan, restart, i + 2 + ln, adobe
         i += 2 + ln
     raise ValueError("no SOS marker")
 
@@ -303,12 +309,13 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     data = bytes(data)
     if _sof_type(data) == 0xC2:
         return _decode_progressive(data, luma_only)
-    qtabs, huff_dc, huff_ac, frame, scan, restart, sstart = _parse_segments(data)
+    qtabs, huff_dc, huff_ac, frame, scan, restart, sstart, adobe = \
+        _parse_segments(data)
     if frame is None:
         raise ValueError("no SOF before SOS")
     H, W, comps = frame
-    if len(comps) not in (1, 3):
-        raise NotImplementedError("only 1- or 3-component JPEG")
+    if len(comps) not in (1, 3, 4):
+        raise NotImplementedError("only 1-, 3- or 4-component JPEG")
     for cs, td, ta in scan:
         for comp in comps:
             if comp.cid == cs:
@@ -321,7 +328,8 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
     n_mcus = mcus_x * mcus_y
     blocks_per_mcu = [c.h * c.v for c in comps]
 
-    decode_comps = comps if not luma_only or len(comps) == 1 else comps[:1]
+    # luma_only can skip chroma for YCbCr; CMYK needs every component
+    decode_comps = comps if not luma_only or len(comps) != 3 else comps[:1]
     skip_idx = set(range(len(decode_comps), len(comps)))
 
     # sparse coefficients per component, blocks in MCU order; each entry
@@ -462,12 +470,44 @@ def decode_jpeg(data: bytes, luma_only: bool = False) -> np.ndarray:
         p4[by, :, bx, :] = pix
         planes.append(plane)
 
-    return _assemble_output(planes, comps, H, W, hmax, vmax, luma_only)
+    return _assemble_output(planes, comps, H, W, hmax, vmax, luma_only,
+                            adobe)
 
 
-def _assemble_output(planes, comps, H, W, hmax, vmax, luma_only):
+def _assemble_output(planes, comps, H, W, hmax, vmax, luma_only,
+                     adobe=None):
     """Component planes (float, block-padded, None for skipped chroma) ->
-    uint8 output: luma crop or pixel-replication upsample + BT.601."""
+    uint8 output: luma crop or pixel-replication upsample + BT.601;
+    4-component Adobe CMYK/YCCK converts to RGB first."""
+    if len(comps) == 4:
+        up = []
+        for ci, comp in enumerate(comps):
+            p = planes[ci]
+            sy, sx = vmax // comp.v, hmax // comp.h
+            if sy > 1 or sx > 1:
+                p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+            up.append(p[:H, :W])
+        if adobe == 2:  # YCCK: first three planes are YCbCr of (255-CMY)
+            y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ye = y + 1.772 * cb
+        else:           # untransformed (Adobe-inverted) CMYK
+            c, m, ye = up[0], up[1], up[2]
+        k = up[3]
+        # Adobe stores inverted CMYK (255 - value), so RGB = stored * K/255
+        rgb = np.stack([c * k, m * k, ye * k], axis=-1)
+        rgb /= 255.0
+        np.rint(rgb, out=rgb)
+        np.clip(rgb, 0, 255, out=rgb)
+        rgb = rgb.astype(np.uint8)
+        if not luma_only:
+            return rgb
+        gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2])
+        out = np.rint(gray)
+        np.clip(out, 0, 255, out=out)
+        return out.astype(np.uint8)
     if len(comps) == 1 or luma_only:
         y = planes[0]
         # luma plane covers H*v/vmax x W*h/hmax at component resolution;
@@ -1254,4 +1294,88 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
     out += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0) + bw.out
 
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------ CMYK encoder
+
+def encode_jpeg_cmyk(img: np.ndarray, quality: int = 85,
+                     ycck: bool = False) -> bytes:
+    """uint8 (H, W, 3) RGB -> 4-component Adobe CMYK (transform 0) or
+    YCCK (transform 2) baseline JPEG — the test oracle for the
+    4-component decode path. Uses the degenerate but invertible mapping
+    C=R, M=G, Y=B (Adobe-inverted convention), K=255 (no black), so the
+    decoded RGB must equal the plain 4:4:4 RGB decode of the same image
+    within quantization error."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a, 0, 255).astype(np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg_cmyk expects (H, W, 3) RGB")
+    H, W = a.shape[:2]
+    ph, pw = -(-H // 8) * 8, -(-W // 8) * 8
+    f = a.astype(np.float64)
+    if ycck:
+        # YCbCr forward transform of the stored (inverted) CMY planes
+        p0 = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        p1 = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+        p2 = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+    else:
+        p0, p1, p2 = f[..., 0], f[..., 1], f[..., 2]
+    p3 = np.full((H, W), 255.0)
+
+    qy = _scale_qtab(QTAB_LUMA.ravel()[ZIGZAG], quality)
+    qc = _scale_qtab(QTAB_CHROMA.ravel()[ZIGZAG], quality)
+    qy_nat = np.empty(64, dtype=np.int64); qy_nat[ZIGZAG] = qy
+    qc_nat = np.empty(64, dtype=np.int64); qc_nat[ZIGZAG] = qc
+
+    def pad(p):
+        return np.pad(p, ((0, ph - H), (0, pw - W)), mode="edge")
+
+    # YCCK: luma tables for Y/K, chroma for Cb/Cr (their statistics);
+    # raw CMYK: luma tables everywhere — raw channels are not chroma-smooth
+    if ycck:
+        specs = [(p0, qy_nat, 0), (p1, qc_nat, 1), (p2, qc_nat, 1), (p3, qy_nat, 0)]
+    else:
+        specs = [(p0, qy_nat, 0), (p1, qy_nat, 0), (p2, qy_nat, 0), (p3, qy_nat, 0)]
+    zz = [_fdct_quant(pad(p), qn.reshape(8, 8)) for p, qn, _ in specs]
+
+    out = bytearray(b"\xff\xd8")
+    adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
+    out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qy.astype(np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qc.astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, H, W, 4)
+    for c in range(4):
+        sof += bytes([c + 1, 0x11, specs[c][2]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc, th, spec):
+        bits, values = spec
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
+    out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
+
+    sos = bytes([4])
+    for c in range(4):
+        t = specs[c][2]
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_y = _build_encode_table(*HUFF_DC_LUMA)
+    ac_y = _build_encode_table(*HUFF_AC_LUMA)
+    dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+
+    bw = _BitWriter()
+    preds = [0] * 4
+    for b in range(zz[0].shape[0]):
+        for ci in range(4):
+            dc_t, ac_t = (dc_y, ac_y) if specs[ci][2] == 0 else (dc_c, ac_c)
+            preds[ci] = _encode_blocks(bw, zz[ci][b:b + 1], dc_t, ac_t, preds[ci])
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
     return bytes(out)

@@ -102,8 +102,11 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
     schema = (_LINES_SCHEMA + ", rot_type string, rot_radians double")
     enriched = lines.groupBy("doc_id", "page").applyInPandas(kernel, schema=schema)
     if persist:
-        from pyspark import StorageLevel
-        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist accepts True (MEMORY_AND_DISK) or a PipelineParams.cache
+        # mode string — see plans.pipeline._materialize
+        from ..plans.pipeline import _materialize
+        enriched = _materialize(
+            enriched, persist if isinstance(persist, str) else "persist")
     rotations = enriched.where(F.col("direction").isNull()).select(
         "doc_id", "page", "rot_type", "rot_radians")
     filtered_lines = enriched.where(F.col("direction").isNotNull())

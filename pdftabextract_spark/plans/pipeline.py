@@ -271,7 +271,7 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
     rotations, filtered = find_rotation_per_page(
         lines, math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
         omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg),
-        persist=persist)
+        persist=params.cache if persist else False)
 
     boxes_fixed = rotate_boxes_back(boxes, rotations)
     if persist:

@@ -120,3 +120,24 @@ def test_decode_matches_libjpeg_color_scan():
             + 0.114 * b[..., 2].astype(float))
     d = np.abs(a.astype(float) - gray)[is_gray]
     assert (d <= 2.0).mean() > 0.99
+
+
+def test_cmyk_and_ycck_decode():
+    """4-component Adobe decode: YCCK must match the plain RGB 4:4:4
+    decode within 1 LSB (identical coefficients modulo the K=255 plane);
+    raw CMYK (transform 0) is a lossy roundtrip of the original."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (48, 56)).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    from pdftabextract_spark.kernels.jpeg import encode_jpeg_cmyk
+    ref = decode_jpeg(encode_jpeg(rgb, quality=90))
+    ycck = decode_jpeg(encode_jpeg_cmyk(rgb, quality=90, ycck=True))
+    assert ycck.shape == (48, 56, 3)
+    assert np.abs(ycck.astype(int) - ref.astype(int)).max() <= 1
+    cmyk = decode_jpeg(encode_jpeg_cmyk(rgb, quality=90, ycck=False))
+    err = np.abs(cmyk.astype(int) - rgb.astype(int))
+    assert err.mean() < 4.0
+    # luma_only works on 4-component streams too
+    lum = decode_jpeg(encode_jpeg_cmyk(rgb, quality=90, ycck=True),
+                      luma_only=True)
+    assert lum.shape == (48, 56)
