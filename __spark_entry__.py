@@ -484,6 +484,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdftabextract_spark.operators.curation import vocab_stats
         return vocab_stats(_load(spark, sf, "documents"), top_n=20)
 
+    def q46_contamination(spark, sf):
+        # train-vs-eval n-gram decontamination: per train doc, the rate of
+        # word shingles also present in the (broadcast) eval shingle set.
+        # n=3 here because the synthetic corpus averages ~54 words from a
+        # small vocabulary (the operator default is the standard n=13)
+        from pdftabextract_spark.operators.curation import contamination
+        d = _load(spark, sf, "documents")
+        return contamination(d.where(F.col("doc_id") % 7 != 0),
+                             d.where(F.col("doc_id") % 7 == 0), n=3)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q43_html_main_content(spark, sf):
@@ -1171,6 +1181,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.source, n_docs, n_langs, mean_chars,
                    round(med, 6) AS median_chars, round(dup, 6) AS dup_rate
             FROM s JOIN d ON s.source = d.source
+        """,
+        "q46_contamination": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            tr AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                   WHERE doc_id % 7 <> 0),
+            ev AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)
+                   WHERE doc_id % 7 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+            hit AS (SELECT doc_id, count(*) AS c FROM tr
+                    WHERE s IN (SELECT s FROM ev) GROUP BY 1)
+            SELECT t.doc_id, t.n_shingles,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated,
+                   round(coalesce(h.c, 0) * 1.0 / t.n_shingles, 6) AS rate
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
         """,
         "q44_fixed_size_sample": """
             SELECT doc_id, stratum, rank FROM (

@@ -274,7 +274,10 @@ def _parse_segments(data):
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
-            adobe = seg[11]
+            # transform byte lives at offset 11; a truncated Adobe segment
+            # (seen in the wild from stream-clipping tools) is treated as
+            # "no Adobe marker", matching libjpeg's tolerant parse
+            adobe = seg[11] if len(seg) >= 12 else None
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
@@ -492,9 +495,15 @@ def _assemble_output(planes, comps, H, W, hmax, vmax, luma_only,
             c = y + 1.402 * cr
             m = y - 0.344136 * cb - 0.714136 * cr
             ye = y + 1.772 * cb
-        else:           # untransformed (Adobe-inverted) CMYK
-            c, m, ye = up[0], up[1], up[2]
-        k = up[3]
+            k = up[3]
+        elif adobe is not None:  # Adobe transform 0: inverted CMYK
+            c, m, ye, k = up[0], up[1], up[2], up[3]
+        else:
+            # no APP14 marker: straight (non-inverted) CMYK — the common
+            # libjpeg-consumer convention; invert the planes into the
+            # Adobe representation so one conversion below serves both
+            c, m, ye, k = (255.0 - up[0], 255.0 - up[1],
+                           255.0 - up[2], 255.0 - up[3])
         # Adobe stores inverted CMYK (255 - value), so RGB = stored * K/255
         rgb = np.stack([c * k, m * k, ye * k], axis=-1)
         rgb /= 255.0

@@ -79,8 +79,32 @@ def pattern_census(docs: DataFrame, patterns=None, text_col="text",
 
 # ------------------------------------------------- next-fit packing
 
+def with_token_counts(docs: DataFrame, tokenizer, text_col="text",
+                      out_col="tokens", batch_kernel=None) -> DataFrame:
+    """Attach a tokenizer-computed token-count column via an Arrow-batched
+    pandas UDF (never per-row Python): ``tokenizer`` is any Python
+    callable ``str -> list`` or ``str -> int`` (e.g. a BPE encode); pass
+    ``batch_kernel`` (``pd.Series -> pd.Series``) instead when the
+    tokenizer has a native batch API (e.g. ``tok.encode_batch``) to skip
+    the per-string Python loop entirely. Real packing budgets are
+    tokenizer tokens, not whitespace words — feed the result to
+    :func:`pack_next_fit` via ``tokens_col=out_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    if batch_kernel is None:
+        def batch_kernel(s: pd.Series) -> pd.Series:
+            def n_tokens(t):
+                r = tokenizer(t if t is not None else "")
+                return r if isinstance(r, int) else len(r)
+            return s.map(n_tokens)
+
+    kernel = pandas_udf(batch_kernel, "long")
+    return docs.withColumn(out_col, kernel(F.col(text_col)))
+
+
 def pack_next_fit(docs: DataFrame, budget: int, text_col="text",
-                  id_col="doc_id", group_col="source") -> DataFrame:
+                  id_col="doc_id", group_col="source",
+                  tokens_col=None) -> DataFrame:
     """Token-budgeted next-fit sequence packing, the training-data step
     that turns documents into context-window groups: within each
     ``group_col`` shard, walk documents in ``id_col`` order and append to
@@ -89,12 +113,18 @@ def pack_next_fit(docs: DataFrame, budget: int, text_col="text",
     never split). Returns (doc_id, group, tokens, pack_id) with pack_id
     dense from 0 per group.
 
-    The sequential walk is per-shard (applyInPandas over the group key) —
-    the 100 TB layout, where packing is shard-local by construction and
-    the shuffle is one exchange on the shard key."""
+    ``tokens_col`` names a pre-computed token-count column (e.g. from
+    :func:`with_token_counts` with a real tokenizer) — the packing walk
+    is tokenizer-agnostic; the default whitespace split is only the
+    self-contained fallback. The sequential walk is per-shard
+    (applyInPandas over the group key) — the 100 TB layout, where packing
+    is shard-local by construction and the shuffle is one exchange on the
+    shard key."""
+    tokens = (F.col(tokens_col).cast("long") if tokens_col is not None
+              else F.size(F.split(text_col, " ")).cast("long"))
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(group_col).alias("grp"),
-                       F.size(F.split(text_col, " ")).cast("long").alias("tokens"))
+                       tokens.alias("tokens"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -116,6 +146,48 @@ def pack_next_fit(docs: DataFrame, budget: int, text_col="text",
             .select("doc_id", F.col("grp").alias("group"), "tokens", "pack_id"))
 
 
+# -------------------------------------------- decontamination
+
+def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                  text_col="text", id_col="doc_id", eval_text_col=None,
+                  eval_id_col=None, broadcast_eval=True) -> DataFrame:
+    """Train-vs-eval n-gram overlap — the industry-standard contamination
+    check (GPT-3/PaLM/Llama eval decontamination): per training document,
+    the fraction of its distinct word ``n``-gram shingles that also occur
+    anywhere in the eval corpus. Returns (doc_id, n_shingles,
+    contaminated, rate); documents with fewer than ``n`` words have no
+    shingles and drop out (mirrored in the SQL oracle). Default ``n=13``
+    is the published standard; pass smaller ``n`` for short-document
+    corpora.
+
+    Scale shape: shingles are xxhash64'd 8-byte keys (reusing the
+    :func:`~pdftabextract_spark.operators.dedup.word_shingles` machinery,
+    dedup.py:88-106); the distinct eval shingle set is BROADCAST by
+    default — eval suites are thousands of documents, so their shingle
+    set is megabytes against a 100 TB train corpus, making the check one
+    map-side semi-join plus one groupBy on doc_id. Pass
+    ``broadcast_eval=False`` for an oversized eval side (falls back to a
+    shuffled left-semi join on the hash key)."""
+    from pyspark.sql.functions import broadcast
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n, text_col, id_col, hashed=True)
+    ev = word_shingles(eval_docs, n, eval_text_col or text_col,
+                       eval_id_col or id_col, hashed=True) \
+        .select("s").distinct()
+    if broadcast_eval:
+        ev = broadcast(ev)
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (sh.join(ev, "s", "left_semi")
+           .groupBy("doc_id").agg(F.count("*").alias("_hits")))
+    return (tot.join(hit, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("_hits"), F.lit(0)).cast("long")
+                     .alias("contaminated"),
+                    F.round(F.coalesce(F.col("_hits"), F.lit(0))
+                            / F.col("n_shingles"), 6).alias("rate")))
+
+
 # -------------------------------------------- deterministic sampling
 
 def stratified_sample(docs: DataFrame, rates: dict, default_rate=0.0,
@@ -124,17 +196,25 @@ def stratified_sample(docs: DataFrame, rates: dict, default_rate=0.0,
     iff the first 4 hex chars of md5(doc_id) fall below the stratum's
     rate threshold — reproducible across engines and runs, no RNG state,
     map-only (the 100 TB shape: sampling decisions must be recomputable
-    per row, never stored). Rates are quantized to 1/65536."""
+    per row, never stored). Rates are quantized to 1/65536; a rate >= 1.0
+    keeps EVERY document in the stratum (no threshold filter — a strict
+    ``< 'ffff'`` would silently drop the ~1/65536 of documents whose md5
+    prefix is 'ffff'). Oracles for rates < 1.0 are unchanged."""
     u = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
-    thresh = None
+
+    def _keep(rate):
+        if rate >= 1.0:
+            return F.lit(True)
+        return u < F.lit("%04x" % min(65535, int(rate * 65536)))
+
+    keep = None
     for stratum, rate in rates.items():
-        t = F.lit("%04x" % min(65535, int(rate * 65536)))
         cond = F.col(stratum_col) == stratum
-        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
-    thresh = thresh.otherwise(
-        F.lit("%04x" % min(65535, int(default_rate * 65536)))) if thresh is not None \
-        else F.lit("%04x" % min(65535, int(default_rate * 65536)))
-    return (docs.where(u < thresh)
+        keep = F.when(cond, _keep(rate)) if keep is None \
+            else keep.when(cond, _keep(rate))
+    keep = keep.otherwise(_keep(default_rate)) if keep is not None \
+        else _keep(default_rate)
+    return (docs.where(keep)
             .select(F.col(id_col).alias("doc_id"),
                     F.col(stratum_col).alias("stratum")))
 

@@ -87,19 +87,30 @@ def _bucket_expr(planes, vcol):
 
 def lsh_bucket(embeddings: DataFrame, dim: int, k: int = None,
                seed: int = ANN_SEED, id_col="vec_id",
-               vec_col="embedding") -> DataFrame:
+               vec_col="embedding", n_vectors: int = None) -> DataFrame:
     """Assign every vector its 2^k sign-bit bucket.
 
-    The DEFAULT ``k=None`` derives the bit count from the corpus size
-    (one count action) via :func:`ann_bits_for`, so the no-args path is
-    scale-safe at any corpus size — a fixed bit count on 10^9 vectors
-    gives O(N^2 / 2^k) within-bucket work.  Pass an explicit ``k`` for a
-    pinned bucketing (the oracle-gated queries pass ``k=ANN_K``).
+    The DEFAULT ``k=None`` derives the bit count from the corpus size via
+    :func:`ann_bits_for`, so the no-args path is scale-safe at any corpus
+    size — a fixed bit count on 10^9 vectors gives O(N^2 / 2^k)
+    within-bucket work.  Pass an explicit ``k`` for a pinned bucketing
+    (the oracle-gated queries pass ``k=ANN_K``).
+
+    ``n_vectors`` is the corpus-size hint for the derivation: WITHOUT it,
+    ``k=None`` issues ``embeddings.count()`` — a separate action that
+    re-executes the full upstream pipeline when the input is not
+    materialized (at 100 TB: a second full read before any bucketing).
+    Pipeline callers should pass a pre-counted size (or count on a
+    persisted frame once and reuse it); an order-of-magnitude estimate is
+    fine — bits move by 1 only when N doubles.
 
     .. note:: **Changed in round 4** — the default was ``ANN_K`` (8
-       bits); it is now ``None`` (derive from a corpus count)."""
+       bits); it is now ``None`` (derive from the corpus size).
+       **Round 5** added ``n_vectors`` so the derivation needs no extra
+       scan."""
     if k is None:
-        k = ann_bits_for(embeddings.count())
+        k = ann_bits_for(n_vectors if n_vectors is not None
+                         else embeddings.count())
     planes = hyperplanes(dim, k, seed)
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
@@ -108,13 +119,15 @@ def lsh_bucket(embeddings: DataFrame, dim: int, k: int = None,
 
 def ann_topk(embeddings: DataFrame, query_ids, dim: int, k=5,
              lsh_bits: int = None, id_col="vec_id",
-             vec_col="embedding") -> DataFrame:
+             vec_col="embedding", n_vectors: int = None) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the query's
     LSH bucket (equi-join on bucket replaces the full crossJoin — the
     candidate set shrinks ~2^bits-fold at matched recall for high-cosine
     neighbors). Default ``lsh_bits=None`` derives the bit count from the
-    corpus size (changed in round 4 from a fixed ``ANN_K``)."""
-    bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col, vec_col=vec_col)
+    corpus size (changed in round 4 from a fixed ``ANN_K``);
+    ``n_vectors`` pre-counts it so no extra scan is issued."""
+    bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col,
+                          vec_col=vec_col, n_vectors=n_vectors)
     q = bucketed.where(F.col("vec_id").isin(list(query_ids))).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"))
@@ -254,14 +267,17 @@ def ivf_topk(embeddings: DataFrame, query_ids, k=5, nlist: int = IVF_NLIST,
 
 def embedding_neardup_pairs(embeddings: DataFrame, dim: int, threshold=0.9,
                             lsh_bits: int = None, id_col="vec_id",
-                            vec_col="embedding") -> DataFrame:
+                            vec_col="embedding",
+                            n_vectors: int = None) -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs: LSH-bucket
     prejoin (only same-bucket pairs are scored — the blocking step that
     makes all-pairs dedup feasible at corpus scale), then exact cosine >=
     threshold, emitted once per unordered pair (a < b). Default
     ``lsh_bits=None`` derives the bit count from the corpus size
-    (changed in round 4 from a fixed ``ANN_K``)."""
-    bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col, vec_col=vec_col)
+    (changed in round 4 from a fixed ``ANN_K``); ``n_vectors`` pre-counts
+    it so no extra scan is issued."""
+    bucketed = lsh_bucket(embeddings, dim, lsh_bits, id_col=id_col,
+                          vec_col=vec_col, n_vectors=n_vectors)
     a = bucketed.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"),
                         F.col("bucket").alias("b_bucket"))
@@ -279,7 +295,7 @@ ANN_TABLES = 4
 def banded_lsh_buckets(embeddings: DataFrame, dim: int,
                        tables: int = ANN_TABLES, bits_per_table: int = None,
                        seed: int = ANN_SEED, id_col="vec_id",
-                       vec_col="embedding") -> DataFrame:
+                       vec_col="embedding", n_vectors: int = None) -> DataFrame:
     """Multi-table (banded) hyperplane LSH: ``tables`` independent
     bucketings, table t's planes seeded ``seed + t`` (table 0 is exactly
     the single-table bucketing). A pair is a candidate if it collides in
@@ -293,9 +309,11 @@ def banded_lsh_buckets(embeddings: DataFrame, dim: int,
 
     Default ``bits_per_table=None`` derives the bit count from the
     corpus size via :func:`ann_bits_for` (changed in round 4 from a
-    fixed ``ANN_K``)."""
+    fixed ``ANN_K``); ``n_vectors`` pre-counts it so the derivation
+    issues no extra scan over an unmaterialized input."""
     if bits_per_table is None:
-        bits_per_table = ann_bits_for(embeddings.count())
+        bits_per_table = ann_bits_for(n_vectors if n_vectors is not None
+                                      else embeddings.count())
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
     exprs = [_bucket_expr(hyperplanes(dim, bits_per_table, seed + t),
@@ -310,7 +328,8 @@ def banded_candidate_pairs(embeddings: DataFrame, dim: int,
                            bits_per_table: int = None,
                            seed: int = ANN_SEED,
                            max_bucket_size: int = ANN_MAX_BUCKET_DEFAULT,
-                           id_col="vec_id", vec_col="embedding") -> DataFrame:
+                           id_col="vec_id", vec_col="embedding",
+                           n_vectors: int = None) -> DataFrame:
     """Candidate pairs (a, b, n_tables) from banded LSH — a < b, one row
     per unordered pair, ``n_tables`` = number of tables where the pair
     collides (a vector has one bucket per table, so within-table a pair
@@ -328,9 +347,12 @@ def banded_candidate_pairs(embeddings: DataFrame, dim: int,
        to ``ANN_MAX_BUCKET_DEFAULT`` (4096 = 16x the target bucket) and
        ``bits_per_table`` to ``None`` (derive from a corpus count), so
        default arguments can no longer produce a quadratic plan. Pass
-       ``max_bucket_size=None`` for the uncapped exact blocking."""
+       ``max_bucket_size=None`` for the uncapped exact blocking.
+       ``n_vectors`` (round 5) pre-counts the corpus so the bit
+       derivation issues no extra scan."""
     b = banded_lsh_buckets(embeddings, dim, tables, bits_per_table, seed,
-                           id_col=id_col, vec_col=vec_col)
+                           id_col=id_col, vec_col=vec_col,
+                           n_vectors=n_vectors)
     b = b.select("vec_id", "t", "bucket")
     if max_bucket_size is not None:
         hot = (b.groupBy("t", "bucket").agg(F.count("*").alias("_n"))
@@ -352,14 +374,16 @@ def embedding_neardup_pairs_banded(embeddings: DataFrame, dim: int,
                                    seed: int = ANN_SEED,
                                    max_bucket_size: int = ANN_MAX_BUCKET_DEFAULT,
                                    id_col="vec_id",
-                                   vec_col="embedding") -> DataFrame:
+                                   vec_col="embedding",
+                                   n_vectors: int = None) -> DataFrame:
     """Banded-LSH near-duplicate pairs: candidate pairs from
     :func:`banded_candidate_pairs` (deduped across tables), then ONE
     exact cosine score per pair via two id-equi-joins back to the vector
     table — each candidate is scored once regardless of how many tables
     it collided in. Emits (a, b, n_tables, cos) with cos >= threshold."""
     cand = banded_candidate_pairs(embeddings, dim, tables, bits_per_table,
-                                  seed, max_bucket_size, id_col, vec_col)
+                                  seed, max_bucket_size, id_col, vec_col,
+                                  n_vectors=n_vectors)
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           _as_double(F.col(vec_col)).alias("v"))
     ea = e.select(F.col("vec_id").alias("a"), F.col("v").alias("av"))

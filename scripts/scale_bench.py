@@ -1,12 +1,20 @@
 """Two-cluster-size scaling evidence (north rule): run the identical
-flagship extraction at local[N] and local[4N] on the same materialized
-corpus, report docs/sec at both and the scaling efficiency
-(= throughput ratio / core ratio). Writes BENCH/BASELINE.md.
+flagship extraction at several parallelism levels (default local[8] and
+local[32]; add --levels 8,16,32 for a 3-point curve) on the same
+materialized corpus, report docs/sec at each level and the scaling
+efficiency between the endpoints (= throughput ratio / core ratio).
+Writes the marked table block in BENCH/BASELINE.md.
 
 Each configuration runs in a fresh subprocess (one JVM per measurement)
-and takes the best of ``--reps`` runs to suppress sandbox noise.
+and takes the best of ``--reps`` runs to suppress sandbox noise. Results
+append to BENCH/scale_runs.jsonl; the table reports the MERGED best per
+level across all logged invocations at the same corpus size, so one bad
+hypervisor window can never clobber earlier quiet-window evidence — the
+latest-invocation line underneath is the regression signal. Entries with
+``"seeded": true`` are hand-transcribed session records (not produced by
+this script) and are counted separately in the provenance line.
 
-Usage: python scripts/scale_bench.py [--low 8] [--high 32] [--docs 6000]
+Usage: python scripts/scale_bench.py [--levels 8,32] [--docs 6000]
        [--reps 3]
 """
 
@@ -26,7 +34,7 @@ def run_bench(cpus, docs, sf_dir):
                SPARK_GRAFT_BENCH_DOCS=str(docs),
                SPARK_GRAFT_SF_DIR=sf_dir,
                # scale_bench interleaves whole invocations, so 2 in-JVM
-               # reps suffice (the full bench's best-of-6 would make the
+               # reps suffice (the full bench's best-of-N would make the
                # large-corpus scaling runs needlessly long)
                SPARK_GRAFT_EXTRACT_REPS=os.environ.get(
                    "SPARK_GRAFT_EXTRACT_REPS", "2"))
@@ -37,79 +45,95 @@ def run_bench(cpus, docs, sf_dir):
     return json.loads(line)
 
 
+def _entry_levels(e):
+    """Normalize a jsonl entry (new levels-dict or legacy low/high) to
+    {cpus:int -> {wall, dps, spans}}."""
+    if "levels" in e:
+        return {int(k): v for k, v in e["levels"].items()}
+    return {int(e["low_cpus"]): e["low"], int(e["high_cpus"]): e["high"]}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated core counts, ascending")
     ap.add_argument("--docs", type=int, default=6000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
+    levels = sorted(int(x) for x in args.levels.split(","))
 
-    # interleave the two levels so a quiet window benefits BOTH measurements
+    # interleave the levels so a quiet window benefits ALL measurements
     # (the sandbox hypervisor's throughput swings wildly over minutes)
     results = {}
     for rep in range(args.reps):
-        for cpus in (args.low, args.high):
+        for cpus in levels:
             r = run_bench(cpus, args.docs, args.sf_dir)
             print(f"local[{cpus}] rep {rep}: {r['queries']['extract_e2e']}s "
                   f"({r['extract_docs_per_sec']} docs/s)", flush=True)
             prev = results.get(cpus)
-            if prev is None or r["queries"]["extract_e2e"] < prev["queries"]["extract_e2e"]:
+            if prev is None or (r["queries"]["extract_e2e"]
+                                < prev["queries"]["extract_e2e"]):
                 results[cpus] = r
 
-    lo, hi = results[args.low], results[args.high]
-    core_ratio = args.high / args.low
-    eff = (hi["extract_docs_per_sec"] / lo["extract_docs_per_sec"]) / core_ratio
-
-    # append this invocation to the run log; report the MERGED best per
-    # level across ALL logged invocations (same docs/levels) so one
-    # bad hypervisor window can never clobber earlier quiet-window
-    # evidence. BENCH/BASELINE.md is narrative + a marked table block;
-    # only the block between the markers is regenerated.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     log_path = os.path.join(REPO, "BENCH", "scale_runs.jsonl")
+    this_levels = {
+        str(c): {"wall": results[c]["queries"]["extract_e2e"],
+                 "dps": results[c]["extract_docs_per_sec"],
+                 "spans": results[c]["extract_spans"]}
+        for c in levels}
+    lo_c, hi_c = levels[0], levels[-1]
+    eff = ((this_levels[str(hi_c)]["dps"] / this_levels[str(lo_c)]["dps"])
+           / (hi_c / lo_c))
     entry = {"ts": time.strftime("%Y-%m-%d %H:%M:%S"), "docs": args.docs,
-             "low_cpus": args.low, "high_cpus": args.high,
-             "low": {"wall": lo["queries"]["extract_e2e"],
-                     "dps": lo["extract_docs_per_sec"],
-                     "spans": lo["extract_spans"]},
-             "high": {"wall": hi["queries"]["extract_e2e"],
-                      "dps": hi["extract_docs_per_sec"],
-                      "spans": hi["extract_spans"]},
-             "efficiency": round(eff, 3)}
+             "levels": this_levels, "efficiency": round(eff, 3)}
     with open(log_path, "a") as f:
         f.write(json.dumps(entry) + "\n")
 
-    best_lo, best_hi = dict(entry["low"]), dict(entry["high"])
-    n_runs = 0
+    # merge bests per level across every logged invocation at this corpus
+    # size (any level set), tracking hand-seeded records separately
+    best = {}          # cpus -> {wall, dps, spans}
+    n_runs = n_seeded = 0
     with open(log_path) as f:
         for line in f:
             e = json.loads(line)
-            if (e.get("docs"), e.get("low_cpus"), e.get("high_cpus")) != \
-                    (args.docs, args.low, args.high):
+            if e.get("docs") != args.docs:
                 continue
-            n_runs += 1
-            if e["low"]["dps"] > best_lo["dps"]:
-                best_lo = e["low"]
-            if e["high"]["dps"] > best_hi["dps"]:
-                best_hi = e["high"]
-    merged_eff = (best_hi["dps"] / best_lo["dps"]) / core_ratio
+            if e.get("seeded"):
+                n_seeded += 1
+            else:
+                n_runs += 1
+            for cpus, v in _entry_levels(e).items():
+                if cpus not in best or v["dps"] > best[cpus]["dps"]:
+                    best[cpus] = v
 
+    curve = sorted(best.items())
+    lo_c, lo_v = curve[0]
+    hi_c, hi_v = curve[-1]
+    merged_eff = (hi_v["dps"] / lo_v["dps"]) / (hi_c / lo_c)
+
+    rows = "\n".join(
+        f"| local[{c}] | {v['wall']} | {v['dps']:,.0f} | {v['spans']:,} |"
+        for c, v in curve)
+    seed_note = (f" plus {n_seeded} hand-transcribed session record(s) "
+                 f"(marked `\"seeded\": true` in the jsonl)") if n_seeded else ""
+    latest = ", ".join(f"local[{c}] {v['dps']:,.0f} docs/s"
+                       for c, v in sorted((int(k), v)
+                                          for k, v in this_levels.items()))
     block = f"""<!-- scale-table:begin -->
 | config | wall (s) | docs/sec | spans |
 |---|---|---|---|
-| local[{args.low}]  | {best_lo['wall']} | {best_lo['dps']:,.0f} | {best_lo['spans']:,} |
-| local[{args.high}] | {best_hi['wall']} | {best_hi['dps']:,.0f} | {best_hi['spans']:,} |
+{rows}
 
-**Raw scaling efficiency (throughput ratio / core ratio {core_ratio:.0f}x):
-{merged_eff:.2f}.** Best rep per level merged across {n_runs} scale_bench
-invocation(s) (BENCH/scale_runs.jsonl; {args.reps} interleaved reps per
-level per invocation, fresh JVM per run) against hypervisor variance.
-Latest invocation: local[{args.low}] {entry['low']['dps']:,.0f} docs/s,
-local[{args.high}] {entry['high']['dps']:,.0f} docs/s, eff {eff:.2f}
-({entry['ts']}).
+**Raw scaling efficiency local[{lo_c}] -> local[{hi_c}] (throughput ratio
+/ core ratio {hi_c / lo_c:.0f}x): {merged_eff:.2f}.** Best rep per level
+merged across {n_runs} scale_bench invocation(s)
+(BENCH/scale_runs.jsonl; interleaved reps per level per invocation,
+fresh JVM per run) against hypervisor variance{seed_note}.
+Latest invocation (the regression signal): {latest},
+eff {eff:.2f} ({entry['ts']}).
 <!-- scale-table:end -->"""
 
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -127,7 +151,7 @@ local[{args.high}] {entry['high']['dps']:,.0f} docs/s, eff {eff:.2f}
     with open(md_path, "w") as f:
         f.write(text)
     print(block)
-    print(json.dumps({"low": lo, "high": hi, "efficiency": round(eff, 3),
+    print(json.dumps({"levels": this_levels, "efficiency": round(eff, 3),
                       "merged_efficiency": round(merged_eff, 3)}))
 
 

@@ -128,3 +128,66 @@ def test_vocab_stats_known(spark):
     # df: a=2 b=2 c=2; cf: a=3 b=3 c=2; ties by word
     assert [(r["w"], r["df"], r["cf"]) for r in got] == \
         [("a", 2, 3), ("b", 2, 3), ("c", 2, 2)]
+
+
+def test_stratified_sample_rate_one_keeps_everything(spark):
+    # md5('40691') and md5('95102') start with 'ffff' — a strict '<'
+    # threshold at rate 1.0 would silently drop them (ADVICE r4)
+    ids = [40691, 95102, 177425, 1, 2, 3]
+    docs = _docs(spark, [(i, "x", "en", "s0") for i in ids])
+    kept = stratified_sample(docs, rates={"en": 1.0})
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(ids)
+    # default_rate=1.0 path too
+    docs2 = _docs(spark, [(i, "x", "xx", "s0") for i in ids])
+    kept2 = stratified_sample(docs2, rates={}, default_rate=1.0)
+    assert kept2.count() == len(ids)
+
+
+def test_contamination_known(spark):
+    from pdftabextract_spark.operators.curation import contamination
+    train = _docs(spark, [
+        (1, "a b x y", "en", "s0"),   # shingles {a b, b x, x y} -> 1 hit
+        (2, "p q r", "en", "s0"),     # {p q, q r} -> 0 hits
+        (3, "a", "en", "s0"),         # < n words: dropped
+    ])
+    ev = _docs(spark, [(100, "a b c", "en", "s0")])  # eval set {a b, b c}
+    got = {r["doc_id"]: r for r in contamination(train, ev, n=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_shingles"] == 3 and got[1]["contaminated"] == 1
+    assert got[1]["rate"] == round(1 / 3, 6)
+    assert got[2]["n_shingles"] == 2 and got[2]["contaminated"] == 0
+    assert got[2]["rate"] == 0.0
+    # non-broadcast path agrees
+    got2 = {r["doc_id"]: r for r in contamination(
+        train, ev, n=2, broadcast_eval=False).collect()}
+    assert got == {k: v for k, v in got2.items()} or \
+        all(got[k].asDict() == got2[k].asDict() for k in got)
+
+
+def test_pack_next_fit_tokens_col(spark):
+    from pyspark.sql import functions as F
+    # token counts come from a provided column, NOT the whitespace split
+    docs = _docs(spark, [
+        (1, "irrelevant text", "en", "s0"),
+        (2, "irrelevant text", "en", "s0"),
+        (3, "irrelevant text", "en", "s0"),
+    ]).withColumn("bpe_tokens",
+                  F.when(F.col("doc_id") == 1, 5)
+                   .when(F.col("doc_id") == 2, 5).otherwise(3))
+    out = {r["doc_id"]: r for r in pack_next_fit(
+        docs, budget=8, tokens_col="bpe_tokens").collect()}
+    # 5 -> pack0; 5+5>8 -> pack1; 5+3=8 fits pack1
+    assert [out[i]["pack_id"] for i in (1, 2, 3)] == [0, 1, 1]
+    assert [out[i]["tokens"] for i in (1, 2, 3)] == [5, 5, 3]
+
+
+def test_with_token_counts_udf_hook(spark):
+    from pdftabextract_spark.operators.curation import with_token_counts
+    docs = _docs(spark, [(1, "aa bb", "en", "s0"), (2, "c", "en", "s0")])
+    # "tokenizer": every 2 chars is a token (ceil) — 5 chars -> 3, 1 -> 1
+    counted = with_token_counts(docs, lambda t: (len(t) + 1) // 2)
+    got = {r["doc_id"]: r["tokens"] for r in counted.collect()}
+    assert got == {1: 3, 2: 1}
+    # the packing walk accepts the computed column
+    out = pack_next_fit(counted, budget=3, tokens_col="tokens")
+    assert out.count() == 2

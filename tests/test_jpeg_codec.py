@@ -141,3 +141,63 @@ def test_cmyk_and_ycck_decode():
     lum = decode_jpeg(encode_jpeg_cmyk(rgb, quality=90, ycck=True),
                       luma_only=True)
     assert lum.shape == (48, 56)
+
+
+def _rewrite_app14(buf: bytes, new_payload) -> bytes:
+    """Remove (new_payload=None) or replace the APP14 segment payload."""
+    out = bytearray()
+    i = 0
+    assert buf[:2] == b"\xff\xd8"
+    out += buf[:2]
+    i = 2
+    while i < len(buf):
+        assert buf[i] == 0xFF
+        marker = buf[i + 1]
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += buf[i:]
+            break
+        ln = int.from_bytes(buf[i + 2:i + 4], "big")
+        if marker == 0xEE:
+            if new_payload is not None:
+                out += b"\xff\xee"
+                out += (2 + len(new_payload)).to_bytes(2, "big")
+                out += new_payload
+            # None -> drop the segment entirely
+        else:
+            out += buf[i:i + 2 + ln]
+        i += 2 + ln
+    return bytes(out)
+
+
+def test_cmyk_no_adobe_marker_straight_convention():
+    """4-component stream WITHOUT an APP14 marker decodes under the
+    straight (non-inverted) CMYK convention: the encoder's stored K=255
+    plane then means full black ink, so the decode is near-black —
+    NOT the Adobe-inverted read (which would reproduce the RGB)."""
+    rng = np.random.default_rng(11)
+    g = rng.integers(64, 192, (32, 40)).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, np.roll(g, 5, 1)], -1)
+    from pdftabextract_spark.kernels.jpeg import encode_jpeg_cmyk
+    buf = encode_jpeg_cmyk(rgb, quality=90, ycck=False)
+    stripped = _rewrite_app14(buf, None)
+    dec = decode_jpeg(stripped)
+    assert dec.shape == rgb.shape
+    # straight K=255 -> (255-C)*(255-K)/255 == 0 (+-DCT quantization)
+    assert dec.astype(float).mean() < 3.0
+    # sanity: with the marker intact the same bytes reproduce the RGB
+    adobe = decode_jpeg(buf)
+    assert np.abs(adobe.astype(int) - rgb.astype(int)).mean() < 4.0
+
+
+def test_truncated_app14_treated_as_no_marker():
+    """An Adobe APP14 segment too short to carry the transform byte is
+    ignored (no IndexError) — the stream decodes as unmarked CMYK."""
+    rng = np.random.default_rng(12)
+    g = rng.integers(64, 192, (24, 24)).astype(np.uint8)
+    rgb = np.stack([g, g, g], -1)
+    from pdftabextract_spark.kernels.jpeg import encode_jpeg_cmyk
+    buf = encode_jpeg_cmyk(rgb, quality=90, ycck=False)
+    short = _rewrite_app14(buf, b"Adobe\x00\x64")  # 7-byte payload < 12
+    dec = decode_jpeg(short)
+    stripped = decode_jpeg(_rewrite_app14(buf, None))
+    assert np.array_equal(dec, stripped)
