@@ -431,3 +431,60 @@ def test_n_vectors_hint_skips_count_action(spark):
     # derivation parity: hint and count produce the same bit count
     assert S.ann_bits_for(500) == S.ann_bits_for(spied.count())
     os.remove(marker)
+
+
+def test_banded_default_recall_on_skewed_corpus(spark):
+    """VERDICT r4 item 3 gate: quantify the recall the scale-safe
+    defaults (derived bits + 4096 bucket cap) trade for boundedness.
+    Skewed corpus = one boilerplate-heavy near-identical cluster + 150
+    planted near-dup pairs + random background; ground truth = ALL pairs
+    with exact cosine >= 0.9 (numpy, full matrix). Default
+    banded_candidate_pairs must reach >= 0.95 candidate-pair recall
+    overall AND on the planted (hardest, lowest-cosine) subset.
+    The measured numbers are documented in COVERAGE.md."""
+    rng = np.random.default_rng(42)
+    dim = 16
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    rows = []
+    # boilerplate cluster: 400 tiny perturbations of one direction
+    base = unit(rng.standard_normal(dim))
+    for i in range(400):
+        rows.append((i, unit(base + 0.02 * rng.standard_normal(dim)).tolist()))
+    # planted near-dup pairs at cosine ~0.97 (noise norm ~0.06*sqrt(16))
+    planted = []
+    for p in range(150):
+        a = unit(rng.standard_normal(dim))
+        b = unit(a + 0.06 * rng.standard_normal(dim))
+        ia, ib = 1000 + 2 * p, 1000 + 2 * p + 1
+        rows.append((ia, a.tolist()))
+        rows.append((ib, b.tolist()))
+        planted.append((ia, ib))
+    # random background
+    for i in range(1500):
+        rows.append((10000 + i, unit(rng.standard_normal(dim)).tolist()))
+
+    # exact ground truth: all pairs with cosine >= 0.9 (full matrix)
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows])
+    C = M @ M.T
+    iu = np.triu_indices(len(rows), k=1)
+    hit = C[iu] >= 0.9
+    truth = {(min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+             for i, j in zip(iu[0][hit], iu[1][hit])}
+    truth_planted = {p for p in planted if p in truth}
+    assert len(truth) > 70000 and len(truth_planted) > 100  # non-trivial
+
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = {(r["a"], r["b"])
+            for r in S.banded_candidate_pairs(emb, dim=dim).collect()}
+
+    recall = len(cand & truth) / len(truth)
+    recall_planted = len(cand & truth_planted) / len(truth_planted)
+    # measured at seed 42: recall ~0.9998 overall, ~0.99 planted
+    assert recall >= 0.95, recall
+    assert recall_planted >= 0.95, recall_planted
+    print("banded default recall: overall=%.4f planted=%.4f (truth=%d)"
+          % (recall, recall_planted, len(truth)))

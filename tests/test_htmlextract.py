@@ -82,3 +82,154 @@ def test_strip_tags_expr(spark):
                                  "doc_id string, text string")
     out = docs.select(strip_tags_expr(F.col("text")).alias("t")).first()
     assert out["t"] == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# Differential oracle (VERDICT r4 item 7): an INDEPENDENT pure-Python
+# reimplementation of the DOM-block heuristic — regex tag tokenizer
+# instead of html.parser, its own state machine — asserted value-equal
+# to the engine's main_content over >= 50 real-corpus documents. This is
+# the in-test hash for q43, which the driver can only rows-check.
+
+_O_IGNORE = {"script", "style", "noscript", "template", "head", "svg"}
+_O_BLOCK = {
+    "p", "div", "section", "article", "main", "aside", "header", "footer",
+    "nav", "ul", "ol", "li", "table", "tr", "td", "th", "h1", "h2", "h3",
+    "h4", "h5", "h6", "blockquote", "pre", "form", "body", "html", "br",
+    "hr", "figure", "figcaption"}
+_O_VOID = {"br", "hr", "img", "meta", "link", "input"}
+_O_STOP = frozenset(
+    "the a an and or of to in is are was were be been for on with as by at "
+    "it this that from not have has had but they you we he she his her its "
+    "their our your i".split())
+
+
+def _oracle_blocks(html):
+    """Regex-tokenizer reimplementation of the block parse."""
+    import html as htmlmod
+    import re
+    blocks, stack, parts = [], [], []
+    ignore_depth = link_depth = link_chars = 0
+    path = ""
+
+    def flush():
+        nonlocal parts, link_chars
+        text = " ".join("".join(parts).split())
+        if text:
+            blocks.append((path, len(stack), text, len(text),
+                           min(link_chars, len(text))))
+        parts, link_chars = [], 0
+
+    for tok in re.split(r"(<[^>]*>)", html or ""):
+        if not tok:
+            continue
+        if tok.startswith("<") and tok.endswith(">") and len(tok) > 2:
+            inner = tok[1:-1].strip()
+            closing = inner.startswith("/")
+            name = re.split(r"[\s/>]", inner.lstrip("/"), 1)[0].lower()
+            if not name:
+                continue
+            if not closing:
+                if name in _O_IGNORE:
+                    ignore_depth += 1
+                if name in _O_BLOCK:
+                    flush()
+                if name == "a":
+                    link_depth += 1
+                if name not in _O_VOID:
+                    stack.append(name)
+                    path = "/".join(stack[-4:])
+            else:
+                if name in _O_IGNORE and ignore_depth:
+                    ignore_depth -= 1
+                if name in _O_BLOCK:
+                    flush()
+                if name == "a" and link_depth:
+                    link_depth -= 1
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i] == name:
+                        del stack[i:]
+                        break
+                path = "/".join(stack[-4:])
+        else:
+            data = htmlmod.unescape(tok)
+            if not data:
+                continue
+            if data.isspace():
+                if parts:
+                    parts.append(" ")
+                continue
+            if ignore_depth:
+                continue
+            parts.append(data)
+            if link_depth:
+                link_chars += len(data.strip())
+    flush()
+    return blocks
+
+
+def _oracle_main_content(html, min_len=40, max_link_density=0.33,
+                         min_stopword_density=0.18):
+    import re
+    content, n_blocks, n_content = [], 0, 0
+    for path, depth, text, n_chars, n_link in _oracle_blocks(html):
+        n_blocks += 1
+        distinct = set(text.lower().split(" "))
+        stop_density = len(distinct & _O_STOP) / max(len(distinct), 1)
+        link_density = n_link / max(n_chars, 1)
+        chrome = re.search(r"(^|/)(nav|footer|aside|header)(/|$)", path)
+        if (n_chars >= min_len and link_density <= max_link_density
+                and stop_density >= min_stopword_density and not chrome):
+            content.append(text)
+            n_content += 1
+    return " ".join(content), n_blocks, n_content
+
+
+def test_main_content_differential_vs_independent_oracle(spark, sf_dir):
+    """main_content over >= 50 real-corpus documents wrapped in varied
+    page templates must value-match the independent regex-tokenizer
+    oracle exactly (content string, n_blocks, n_content_blocks)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pdftabextract_spark.operators.htmlextract import main_content
+
+    docs = pd.read_parquet(sf_dir + "/documents.parquet")[
+        ["doc_id", "text"]].head(60)
+
+    def page(i, t):
+        # prose prefix so stopword density clears the threshold for
+        # article text but not for short/linky chrome
+        prose = ("this is the article that they have been reading and "
+                 "it was written for you and for i ")
+        if i % 4 == 0:
+            return ("<html><body><nav><a href=a>Home</a> <a href=b>About"
+                    "</a></nav><article><p>%s%s</p></article><footer>"
+                    "Copyright <a href=c>Legal</a></footer></body></html>"
+                    % (prose, t))
+        if i % 4 == 1:
+            return ("<html><head><title>x</title><script>var a=1;</script>"
+                    "</head><body><header><h1>Site &amp; Co</h1></header>"
+                    "<div><p>%s%s</p><p>short</p></div><aside><p>%s ad"
+                    "</p></aside></body></html>" % (prose, t, prose))
+        if i % 4 == 2:
+            return ("<html><body><ul><li><a href=x>Nav one</a></li><li>"
+                    "<a href=y>Nav two</a></li></ul><main><p>%s%s</p>"
+                    "<p>%s again %s</p></main></body></html>"
+                    % (prose, t, prose, t))
+        return ("<html><body><table><tr><td>%s%s</td><td><a href=z>%s"
+                "</a></td></tr></table><br><p>trailing %s%s</p></body>"
+                % (prose, t, t, prose, t))  # unclosed html: tolerance path
+
+    pages = [(str(r.doc_id), page(i, r.text))
+             for i, r in enumerate(docs.itertuples(index=False))]
+    expected = {d: _oracle_main_content(h) for d, h in pages}
+
+    df = spark.createDataFrame(pages, "doc_id string, text string")
+    got = {r["doc_id"]: (r["content"], r["n_blocks"], r["n_content_blocks"])
+           for r in main_content(df).collect()}
+    assert set(got) == set(expected)
+    mismatches = {d: (got[d], expected[d]) for d in got
+                  if got[d] != expected[d]}
+    assert not mismatches, list(mismatches.items())[:2]
+    # the differential is non-trivial: most pages have real content
+    assert sum(1 for c, _, _ in expected.values() if c) >= 50
