@@ -6,8 +6,19 @@ Times the headline workloads at $SPARK_GRAFT_SF_DIR (default
 * flagship: end-to-end span-table extraction over a deterministic synthetic
   interleaved corpus (materialized to parquet once, untimed — the timed job
   reads parquet exactly like production reads Iceberg);
+* image-line-driven extraction over rotated rendered pages;
 * a representative slice of the SQL operator suite (window clustering,
   TPC-H Q1, minhash, simhash, n-gram jaccard, cosine top-k, ANN buckets).
+
+Variance protocol (this sandbox's hypervisor swings the SAME job 3-10x
+between adjacent minutes — BENCH/BASELINE.md): all workloads are timed in
+INTERLEAVED ROUNDS (extract x2, image x1, each operator x1 per round, 4
+rounds) so a single slow window cannot capture every rep of one workload,
+unlike the former back-to-back best-of-6. Per-rep wall times AND Spark
+stage metrics (executor run time, GC time via the UI REST API) are
+emitted per workload so a slow rep is attributable: wall slow + executor
+time slow = hypervisor stall; wall slow + executor normal = scheduling;
+GC-heavy = memory. Headline stays best-of, with median-of-reps alongside.
 
 Usage:
   python bench.py                 # full bench, one JSON line to stdout
@@ -18,14 +29,30 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# cache mode for the extract pipeline's multi-branch materialization;
+# default from the round-5 interleaved A/B at the bench shape
+# (scripts/cache_ab.py, 6 rounds x 3 modes in ONE session, 2026-08-18):
+#   checkpoint best 2.466s / quiet-reps 2.47-2.56 (most stable)
+#   persist    best 2.850s / quiet-reps 2.85-3.44
+#   none       best 4.844s / quiet-reps 4.8-18.6
+# localCheckpoint wins for the bench shape (no columnar re-encode); the
+# ENGINE default stays "persist" (recomputable lineage, the cluster-safe
+# choice — plans/pipeline.py). Override to re-A/B.
+CACHE_MODE = os.environ.get("SPARK_GRAFT_CACHE_MODE", "checkpoint")
 
 # corpus sizing per sf tier (docs; pages ~= 2.2x docs, boxes ~= 40x pages)
 _DOCS_BY_SF = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 6000}
+
+OPERATOR_QUERIES = ["q01_break_dist_clusters", "q12_tpch_q1",
+                    "q15_minhash_signatures", "q17_simhash",
+                    "q18_ngram_jaccard", "q19_cosine_topk",
+                    "q20_ann_lsh_buckets", "q07_sessionize"]
 
 
 def _sf_tag(path):
@@ -57,7 +84,61 @@ def _median(xs):
     return (xs[(n - 1) // 2] + xs[n // 2]) / 2.0
 
 
-def bench_extract(spark, n_docs):
+class StageMeter:
+    """Attribute wall time per rep via the Spark UI REST API: sums
+    executorRunTime / jvmGcTime over stages completed since the previous
+    snapshot. None-safe — if the UI is unreachable the bench still runs,
+    rep stats just omit the stage fields."""
+
+    def __init__(self, spark):
+        self.base = None
+        self.seen = set()
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return
+        try:
+            apps = json.load(urllib.request.urlopen(
+                ui + "/api/v1/applications", timeout=5))
+            self.base = f"{ui}/api/v1/applications/{apps[0]['id']}"
+        except Exception:
+            self.base = None
+
+    def snapshot(self):
+        """Consume stages completed since the last call; return sums."""
+        if not self.base:
+            return {}
+        try:
+            stages = json.load(urllib.request.urlopen(
+                self.base + "/stages?status=COMPLETE", timeout=10))
+        except Exception:
+            return {}
+        new = [s for s in stages
+               if (s["stageId"], s["attemptId"]) not in self.seen]
+        for s in new:
+            self.seen.add((s["stageId"], s["attemptId"]))
+        return {
+            "stages": len(new),
+            "exec_sec": round(sum(s.get("executorRunTime", 0)
+                                  for s in new) / 1000.0, 3),
+            "gc_sec": round(sum(s.get("jvmGcTime", 0)
+                                for s in new) / 1000.0, 3),
+        }
+
+
+def _timed(fn, meter):
+    """Run fn() once; return (wall, rep_stat_dict)."""
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    stat = {"wall": round(wall, 3)}
+    if meter is not None:
+        stat.update(meter.snapshot())
+    return wall, stat, out
+
+
+def make_extract_rep(spark, n_docs):
+    """Materialize corpus + warmup; return a zero-arg callable running
+    one timed extract rep (returns the span count)."""
     from pdftabextract_spark.plans.pipeline import (
         PipelineParams, extract_from_span_table)
     from pdftabextract_spark.sources import synth
@@ -66,33 +147,24 @@ def bench_extract(spark, n_docs):
     params = synth.CorpusParams(seed=42, n_docs=n_docs, n_cols=6)
     pipe = PipelineParams(n_cols=params.n_cols,
                           min_col_width=params.min_col_width,
-                          min_row_height=params.min_row_height)
+                          min_row_height=params.min_row_height,
+                          cache=CACHE_MODE)
     span_docs = spark.read.parquet(path)
     # one small UNTIMED warmup pass first: the fresh JVM's first heavy
     # job pays whole-stage-codegen compilation + Python worker spin-up,
-    # which repeatedly dominated rep 1 in session logs (operator queries
-    # timed later in the same session ran at their best while the
-    # first-positioned e2e jobs ran 3-5x slow)
+    # which repeatedly dominated rep 1 in session logs
     warm = synth.CorpusParams(seed=43, n_docs=200, n_cols=6)
     extract_from_span_table(synth.span_docs_df(spark, warm), pipe).count()
     spark.catalog.clearCache()
-    # best-of-6 against hypervisor noise (measured wall-clock swings up to
-    # 3x between adjacent reps on this VM, and entire best-of windows can
-    # land slow — raised from 4 after the r3 official record caught a slow
-    # window); median-of-reps reported alongside so round-over-round
-    # comparisons aren't hostage to one lucky/unlucky rep. Clear the
-    # persisted-plan cache between reps so each rep measures the FULL
-    # pipeline (Spark's cache manager matches identical plans, which would
-    # turn rep 2 into a warm-cache read otherwise)
-    n_reps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS", "6"))
-    reps, n_spans = [], 0
-    for _ in range(n_reps):
+
+    def rep():
+        # clear the persisted-plan cache so each rep measures the FULL
+        # pipeline (Spark's cache manager matches identical plans, which
+        # would turn rep 2 into a warm-cache read otherwise)
         spark.catalog.clearCache()
-        t0 = time.time()
-        out = extract_from_span_table(span_docs, pipe)
-        n_spans = out.count()
-        reps.append(time.time() - t0)
-    return min(reps), _median(reps), n_spans
+        return extract_from_span_table(span_docs, pipe).count()
+
+    return rep
 
 
 def image_corpus_path(n_docs):
@@ -117,10 +189,9 @@ def materialize_image_corpus(spark, n_docs):
     return base, params
 
 
-def bench_image_extract(spark, n_docs=200):
+def make_image_rep(spark, n_docs=200):
     """Image-line-driven extraction (catalogue path: decode -> Canny ->
-    Hough -> rotation repair -> line-cluster columns -> grid) over
-    rotated rendered pages; returns (best seconds, n_pages, n_cells)."""
+    Hough -> rotation repair -> line-cluster columns -> grid)."""
     from pdftabextract_spark.plans.pipeline import (
         PipelineParams, extract_cells_image_path)
     base, params = materialize_image_corpus(spark, n_docs)
@@ -130,14 +201,14 @@ def bench_image_extract(spark, n_docs=200):
     n_pages = pages.count()
     pipe = PipelineParams(n_cols=params.n_cols,
                           min_col_width=params.min_col_width,
-                          min_row_height=params.min_row_height)
-    reps, n_cells = [], 0
-    for _ in range(3):
+                          min_row_height=params.min_row_height,
+                          cache=CACHE_MODE)
+
+    def rep():
         spark.catalog.clearCache()
-        t0 = time.time()
-        n_cells = extract_cells_image_path(boxes, pages, media, pipe).count()
-        reps.append(time.time() - t0)
-    return min(reps), _median(reps), n_pages, n_cells
+        return extract_cells_image_path(boxes, pages, media, pipe).count()
+
+    return rep, n_pages
 
 
 def main():
@@ -147,39 +218,73 @@ def main():
 
     from pdftabextract_spark.session import get_spark
     spark = get_spark(app_name="ptx-bench", cores=CPUS,
-                      shuffle_partitions=max(CPUS, 8))
+                      shuffle_partitions=max(CPUS, 8),
+                      # UI on for per-rep stage attribution (REST API)
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "0"})
+    meter = StageMeter(spark)
 
-    queries, medians = {}, {}
-    dt, dt_med, n_spans = bench_extract(spark, n_docs)
-    queries["extract_e2e"] = round(dt, 3)
-    medians["extract_e2e"] = round(dt_med, 3)
-    docs_per_sec = round(n_docs / dt, 2)
+    extract_rep = make_extract_rep(spark, n_docs)
+    meter.snapshot()  # drain warmup/materialization stages
 
-    img_pages = img_pps = None
-    if not extract_only:
-        dt_img, dt_img_med, img_pages, _ = bench_image_extract(spark)
-        queries["image_e2e"] = round(dt_img, 3)
-        medians["image_e2e"] = round(dt_img_med, 3)
-        img_pps = round(img_pages / dt_img, 2)
+    if extract_only:
+        # scale_bench path: back-to-back reps (it interleaves whole
+        # invocations itself)
+        n_reps = int(os.environ.get("SPARK_GRAFT_EXTRACT_REPS", "2"))
+        walls, stats, n_spans = [], [], 0
+        for _ in range(n_reps):
+            w, st, n_spans = _timed(extract_rep, meter)
+            walls.append(w)
+            stats.append(st)
+        best = min(walls)
+        result = {
+            "metric": "e2e_extraction_and_operator_suite",
+            "value": round(best, 3), "unit": "sec",
+            "queries": {"extract_e2e": round(best, 3)},
+            "queries_median": {"extract_e2e": round(_median(walls), 3)},
+            "value_median": round(_median(walls), 3),
+            "sf": _sf_tag(SF_DIR), "extract_docs": n_docs,
+            "extract_spans": n_spans,
+            "extract_docs_per_sec": round(n_docs / best, 2),
+            "extract_rep_stats": stats,
+            "cache_mode": CACHE_MODE, "cpus": CPUS,
+        }
+        spark.stop()
+        print(json.dumps(result))
+        return
 
-    if not extract_only:
-        import __spark_entry__ as entrymod
-        qs = entrymod.queries()
-        for name in ["q01_break_dist_clusters", "q12_tpch_q1",
-                     "q15_minhash_signatures", "q17_simhash",
-                     "q18_ngram_jaccard", "q19_cosine_topk",
-                     "q20_ann_lsh_buckets", "q07_sessionize"]:
-            # best of 3 — the sandbox hypervisor's throughput swings >3x
-            # between adjacent minutes; single-shot timings mismeasure
-            # the plan (see BENCH/BASELINE.md variance caveat)
-            reps = []
-            for _ in range(3):
-                t0 = time.time()
-                qs[name](spark, SF_DIR).count()
-                reps.append(time.time() - t0)
-            queries[name] = round(min(reps), 3)
-            medians[name] = round(_median(reps), 3)
+    image_rep, img_pages = make_image_rep(spark)
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    meter.snapshot()  # drain image materialization stages
 
+    # ---- interleaved rounds: extract x2, image x1, each operator x1 ----
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    walls = {"extract_e2e": [], "image_e2e": []}
+    rep_stats = {"extract_e2e": [], "image_e2e": []}
+    for q in OPERATOR_QUERIES:
+        walls[q] = []
+        rep_stats[q] = []
+    n_spans = 0
+
+    for r in range(rounds):
+        for _ in range(2):
+            w, st, n_spans = _timed(extract_rep, meter)
+            walls["extract_e2e"].append(w)
+            rep_stats["extract_e2e"].append(st)
+        w, st, _ = _timed(image_rep, meter)
+        walls["image_e2e"].append(w)
+        rep_stats["image_e2e"].append(st)
+        for q in OPERATOR_QUERIES:
+            w, st, _ = _timed(lambda: qs[q](spark, SF_DIR).count(), meter)
+            walls[q].append(w)
+            rep_stats[q].append(st)
+        print(f"round {r}: extract {walls['extract_e2e'][-2:]} "
+              f"image {walls['image_e2e'][-1]:.2f}", file=sys.stderr,
+              flush=True)
+
+    queries = {k: round(min(v), 3) for k, v in walls.items()}
+    medians = {k: round(_median(v), 3) for k, v in walls.items()}
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "e2e_extraction_and_operator_suite",
@@ -194,12 +299,17 @@ def main():
         "sf": _sf_tag(SF_DIR),
         "extract_docs": n_docs,
         "extract_spans": n_spans,
-        "extract_docs_per_sec": docs_per_sec,
+        "extract_docs_per_sec": round(n_docs / queries["extract_e2e"], 2),
         "cpus": CPUS,
+        "image_pages": img_pages,
+        "image_pages_per_sec": round(img_pages / queries["image_e2e"], 2),
+        "cache_mode": CACHE_MODE,
+        "rounds": rounds,
+        # per-rep wall + stage attribution (exec_sec/gc_sec) for the two
+        # e2e workloads — a slow rep is diagnosable from the record alone
+        "extract_rep_stats": rep_stats["extract_e2e"],
+        "image_rep_stats": rep_stats["image_e2e"],
     }
-    if img_pps is not None:
-        result["image_pages"] = img_pages
-        result["image_pages_per_sec"] = img_pps
     spark.stop()
     print(json.dumps(result))
 

@@ -99,6 +99,11 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     # peak-finding comparisons below (this host is bandwidth-bound under
     # 32-way contention); vote counts are bounded by the edge-pixel
     # count of one page, far below 2^31
+    # NOTE (round 5): a theta-chunked (edges x 64) matrix variant with one
+    # flat bincount per block was tried and measured 3x SLOWER here — the
+    # per-theta loop's preallocated n_edges buffers (~50KB) live in L2,
+    # while the chunked temps stream multi-MB through this host's slow
+    # memory. Keep the cache-resident per-angle loop.
     acc = np.empty((n_theta, n_rho), dtype=np.int32)
     v = np.empty_like(xf)
     tmp = np.empty_like(xf)
@@ -308,17 +313,35 @@ def canny_edges(gray, low_thresh=50, high_thresh=150):
     cv2.Canny(low, high, apertureSize=3)."""
     if low_thresh > high_thresh:  # cv2 uses min for linking, max for seeds
         low_thresh, high_thresh = high_thresh, low_thresh
-    g = np.asarray(gray, dtype=np.float32)
-    gp = np.pad(g, 1, mode="reflect")
-    gx = ((gp[:-2, 2:] + 2 * gp[1:-1, 2:] + gp[2:, 2:])
-          - (gp[:-2, :-2] + 2 * gp[1:-1, :-2] + gp[2:, :-2]))
-    gy = ((gp[2:, :-2] + 2 * gp[2:, 1:-1] + gp[2:, 2:])
-          - (gp[:-2, :-2] + 2 * gp[:-2, 1:-1] + gp[:-2, 2:]))
-    ax = np.abs(gx)
-    ay = np.abs(gy)
-    mag = ax + ay  # cv2 default L2gradient=False
+    g = np.asarray(gray)
+    H, W = g.shape
+    # manual reflect pad: np.pad's generic path costs a dispatch + an
+    # extra full copy this bandwidth-starved host can't afford (its
+    # _pad_simple alone profiled at ~40ms/frame); interior assignment
+    # also folds the uint8 -> float32 conversion into the same pass
+    gp = np.empty((H + 2, W + 2), dtype=np.float32)
+    gp[1:-1, 1:-1] = g
+    gp[0, 1:-1] = g[1]
+    gp[-1, 1:-1] = g[-2]
+    gp[:, 0] = gp[:, 2]
+    gp[:, -1] = gp[:, -3]
 
-    H, W = mag.shape
+    # SEPARABLE Sobel, bit-identical groupings to the direct form
+    # (((A + 2B) + C) - ((D + 2E) + F)) but ~2x less memory traffic:
+    # one shared 2*gp pass, one column/row pre-sum each, one difference.
+    g2 = gp * np.float32(2.0)
+    colsum = np.add(gp[:-2], g2[1:-1], out=np.empty((H, W + 2), np.float32))
+    colsum += gp[2:]
+    gx = colsum[:, 2:] - colsum[:, :-2]
+    rowsum = np.add(gp[:, :-2], g2[:, 1:-1],
+                    out=np.empty((H + 2, W), np.float32))
+    rowsum += gp[:, 2:]
+    gy = rowsum[2:] - rowsum[:-2]
+    # L1 magnitude (cv2 default L2gradient=False); |gx|/|gy| are only
+    # needed full-frame here — the per-candidate values are gathered
+    # sparsely below instead of keeping two more full frames
+    mag = np.abs(gx)
+    mag += np.abs(gy)
     # SPARSE non-maximum suppression: only pixels above low_thresh can
     # ever become strong or weak edges, so sector classification and the
     # neighbor comparisons run on the candidate set alone (gathers over
@@ -331,9 +354,12 @@ def canny_edges(gray, low_thresh=50, high_thresh=150):
     if len(flat_c) == 0:
         return np.zeros((H, W), dtype=bool)
 
-    mp = np.pad(mag, 1, mode="constant")
-    mpf = mp.ravel()
+    # zero-padded magnitude for the neighbor gathers, assigned directly
+    # (np.pad would copy the frame a second time)
     Wp2 = W + 2
+    mp = np.zeros((H + 2, Wp2), dtype=mag.dtype)
+    mp[1:-1, 1:-1] = mag
+    mpf = mp.ravel()
     iy, ix = np.divmod(flat_c, W)
     base = (iy + 1) * Wp2 + (ix + 1)
     c = mpf[base]
@@ -344,8 +370,10 @@ def canny_edges(gray, low_thresh=50, high_thresh=150):
 
     gxc = gx.ravel()[flat_c]
     gyc = gy.ravel()[flat_c]
-    axc = ax.ravel()[flat_c]
-    ayc = ay.ravel()[flat_c]
+    # sparse |.| on the candidate set — identical to gathering from
+    # full-frame abs arrays, minus two frame-sized passes
+    axc = np.abs(gxc)
+    ayc = np.abs(gyc)
     tan22 = 0.4142135623730951   # tan(22.5 deg)
     tan67 = 2.414213562373095    # tan(67.5 deg)
     horiz = ayc <= tan22 * axc                   # gradient ~ horizontal
@@ -362,32 +390,29 @@ def canny_edges(gray, low_thresh=50, high_thresh=150):
             | (diag_main & (c > ul) & (c >= lr))
             | (diag_anti & (c > ur) & (c >= ll)))
 
-    kept = flat_c[keep]
-    kept_mag = c[keep]
-    strong = np.zeros(H * W, dtype=bool)
-    strong[kept[kept_mag > high_thresh]] = True
-    strong = strong.reshape(H, W)
-    weak = np.zeros(H * W, dtype=bool)
-    weak[kept[kept_mag <= high_thresh]] = True   # candidates are > low
-    weak = weak.reshape(H, W)
-    if not strong.any():
-        return strong
-
     # hysteresis: BFS from strong pixels through 8-connected weak pixels.
-    # Work on a 1-pixel padded canvas so flat-index neighbor offsets can't
-    # wrap across row boundaries.
-    H, W = strong.shape
-    sp = np.pad(strong, 1)
-    wp = np.pad(weak, 1)
-    Wp = W + 2
-    offsets = np.array([-Wp - 1, -Wp, -Wp + 1, -1, 1, Wp - 1, Wp, Wp + 1])
-    visited = sp.ravel().copy()
-    weak_flat = wp.ravel()
-    frontier = np.flatnonzero(visited)
+    # Strong/weak sets are built directly in PADDED flat coordinates
+    # (``base`` already is one) so flat-index neighbor offsets can't wrap
+    # across row boundaries and no np.pad frame copies are needed.
+    kept_base = base[keep]
+    kept_mag = c[keep]
+    strong_idx = kept_base[kept_mag > high_thresh]
+    if strong_idx.size == 0:
+        return np.zeros((H, W), dtype=bool)
+    visited = np.zeros((H + 2) * Wp2, dtype=bool)
+    visited[strong_idx] = True
+    weak_flat = np.zeros_like(visited)
+    weak_flat[kept_base[kept_mag <= high_thresh]] = True  # cands are > low
+    offsets = np.array([-Wp2 - 1, -Wp2, -Wp2 + 1, -1, 1,
+                        Wp2 - 1, Wp2, Wp2 + 1])
+    frontier = strong_idx
     while frontier.size:
         neigh = (frontier[:, None] + offsets).ravel()
-        cand = np.unique(neigh)
-        cand = cand[weak_flat[cand] & ~visited[cand]]
+        # filter BEFORE unique: the weak candidate set is a sliver of the
+        # 8x frontier fan-out, so the sort inside unique runs on a tiny
+        # array (the full-fan-out unique was the hysteresis hot spot)
+        cand = neigh[weak_flat[neigh] & ~visited[neigh]]
+        cand = np.unique(cand)
         visited[cand] = True
         frontier = cand
-    return visited.reshape(H + 2, Wp)[1:-1, 1:-1]
+    return visited.reshape(H + 2, Wp2)[1:-1, 1:-1]
