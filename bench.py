@@ -93,36 +93,53 @@ class StageMeter:
     def __init__(self, spark):
         self.base = None
         self.seen = set()
-        ui = spark.sparkContext.uiWebUrl
-        if not ui:
+        self._missed = False
+        self.ui = spark.sparkContext.uiWebUrl
+        self._attach()
+
+    def _attach(self):
+        """Resolve the REST base URL; retried from snapshot() so one
+        timed-out probe during a hypervisor stall (observed: the r5
+        initial run lost ALL rep attribution to a 5s init timeout)
+        doesn't disable attribution for the whole invocation."""
+        if self.base or not self.ui:
             return
         try:
             apps = json.load(urllib.request.urlopen(
-                ui + "/api/v1/applications", timeout=5))
-            self.base = f"{ui}/api/v1/applications/{apps[0]['id']}"
+                self.ui + "/api/v1/applications", timeout=30))
+            self.base = f"{self.ui}/api/v1/applications/{apps[0]['id']}"
         except Exception:
             self.base = None
 
     def snapshot(self):
         """Consume stages completed since the last call; return sums."""
+        self._attach()
         if not self.base:
+            self._missed = True
             return {}
         try:
             stages = json.load(urllib.request.urlopen(
-                self.base + "/stages?status=COMPLETE", timeout=10))
+                self.base + "/stages?status=COMPLETE", timeout=30))
         except Exception:
+            self._missed = True
             return {}
         new = [s for s in stages
                if (s["stageId"], s["attemptId"]) not in self.seen]
         for s in new:
             self.seen.add((s["stageId"], s["attemptId"]))
-        return {
+        out = {
             "stages": len(new),
             "exec_sec": round(sum(s.get("executorRunTime", 0)
                                   for s in new) / 1000.0, 3),
             "gc_sec": round(sum(s.get("jvmGcTime", 0)
                                 for s in new) / 1000.0, 3),
         }
+        if self._missed:
+            # a previous snapshot failed/was unattached: this window also
+            # contains THOSE stages — flag so the rep isn't misread
+            out["carryover"] = True
+            self._missed = False
+        return out
 
 
 def _timed(fn, meter):

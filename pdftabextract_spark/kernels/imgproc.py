@@ -95,31 +95,30 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     # big scans (2026-08-17).
     cos_t = np.cos(thetas).astype(np.float32)
     sin_t = np.sin(thetas).astype(np.float32)
-    # int32 accumulator: half the memory traffic of int64 in the
-    # peak-finding comparisons below (this host is bandwidth-bound under
-    # 32-way contention); vote counts are bounded by the edge-pixel
-    # count of one page, far below 2^31
     # NOTE (round 5): a theta-chunked (edges x 64) matrix variant with one
     # flat bincount per block was tried and measured 3x SLOWER here — the
     # per-theta loop's preallocated n_edges buffers (~50KB) live in L2,
     # while the chunked temps stream multi-MB through this host's slow
     # memory. Keep the cache-resident per-angle loop.
-    acc = np.empty((n_theta, n_rho), dtype=np.int32)
     v = np.empty_like(xf)
     tmp = np.empty_like(xf)
-    idx = np.empty(len(xf), dtype=np.int32)
+    idx = np.empty(len(xf), dtype=np.intp)
     off = np.float32(rho_offset)  # exact to 2^24 — far above any rho index
     scaled = inv_rho != np.float32(1.0)
-    for j in range(n_theta):
+
+    def vote_row(j):
+        # one theta row of the accumulator; all arithmetic in the
+        # preallocated buffers, final cast exact (values integral after
+        # rint + integral offset)
         np.multiply(xf, cos_t[j], out=v)
         np.multiply(yf, sin_t[j], out=tmp)
-        v += tmp
+        np.add(v, tmp, out=v)
         if scaled:
-            v *= inv_rho
+            np.multiply(v, inv_rho, out=v)
         np.rint(v, out=v)
-        v += off
+        np.add(v, off, out=v)
         idx[:] = v
-        acc[j, :] = np.bincount(idx, minlength=n_rho)
+        return np.bincount(idx, minlength=n_rho)
 
     # OpenCV returns only LOCAL PEAKS of the accumulator (hough.cpp
     # findLocalMaximums): strictly greater than the previous rho/theta
@@ -128,22 +127,44 @@ def hough_lines(edges, rho_res=1.0, theta_res=np.pi / 500, votes_thresh=100):
     # uses strict >, a deliberate off-by-one kept because the goldens
     # were validated against it). Without the peak filter, every
     # above-threshold cell around a true line (and every dense text
-    # region) floods the output with near-duplicate lines. Slice
-    # comparisons in place of materialized shifted copies (4 fewer
-    # accumulator-sized allocations); out-of-range neighbors count as 0,
-    # so boundary rows/cols only need the > 0 side of the strict
-    # comparisons (acc is theta-major here: axis 0 = theta, axis 1 = rho).
-    cond = acc > votes_thresh - 1
-    cond[:, 1:] &= acc[:, 1:] > acc[:, :-1]    # rho - 1 (strict)
-    cond[:, 0] &= acc[:, 0] > 0
-    cond[:, :-1] &= acc[:, :-1] >= acc[:, 1:]  # rho + 1 (>=; boundary free)
-    cond[1:, :] &= acc[1:, :] > acc[:-1, :]    # theta - 1 (strict)
-    cond[0, :] &= acc[0, :] > 0
-    cond[:-1, :] &= acc[:-1, :] >= acc[1:, :]  # theta + 1 (>=)
-    hit_t, hit_r = np.nonzero(cond)
-    if len(hit_t) == 0:
+    # region) floods the output with near-duplicate lines.
+    #
+    # The peak test only ever looks at a 3-row theta neighborhood, so the
+    # accumulator is never materialized (round 5): a rolling prev/cur/nxt
+    # window replaces the (n_theta x n_rho) int32 matrix + 6 matrix-sized
+    # comparison passes (~35MB of DRAM traffic per page on a 2400-rho
+    # scan) with three L2-resident rows. Out-of-range theta neighbors
+    # count as 0, exactly like the old boundary rows: row 0's strict
+    # "> prev" against a zero row IS the old "acc[0,:] > 0", and the last
+    # row's ">= nxt" against zeros is vacuous. Bit-equality with the
+    # dense formulation is pinned by a differential test.
+    thresh_m1 = votes_thresh - 1
+    zero_row = np.zeros(n_rho, dtype=np.intp)
+    hits_t, hits_r, hits_v = [], [], []
+    prev = zero_row
+    cur = vote_row(0)
+    for j in range(n_theta):
+        nxt = vote_row(j + 1) if j + 1 < n_theta else zero_row
+        cond = cur > thresh_m1
+        if cond.any():
+            cond[1:] &= cur[1:] > cur[:-1]     # rho - 1 (strict)
+            cond[0] &= cur[0] > 0
+            cond[:-1] &= cur[:-1] >= cur[1:]   # rho + 1 (>=)
+            cond &= cur > prev                 # theta - 1 (strict)
+            cond &= cur >= nxt                 # theta + 1 (>=)
+            rr = np.flatnonzero(cond)
+            if rr.size:
+                hits_t.append(np.full(rr.size, j, dtype=np.intp))
+                hits_r.append(rr)
+                hits_v.append(cur[rr])
+        prev = cur
+        cur = nxt
+
+    if not hits_t:
         return np.empty((0, 2), dtype=float)
-    votes = acc[hit_t, hit_r]
+    hit_t = np.concatenate(hits_t)
+    hit_r = np.concatenate(hits_r)
+    votes = np.concatenate(hits_v)
     rhos = (hit_r - rho_offset) * rho_res
     ths = thetas[hit_t]
     order = np.lexsort((ths, rhos, -votes))
@@ -355,10 +376,16 @@ def canny_edges(gray, low_thresh=50, high_thresh=150):
         return np.zeros((H, W), dtype=bool)
 
     # zero-padded magnitude for the neighbor gathers, assigned directly
-    # (np.pad would copy the frame a second time)
+    # (np.pad would copy the frame a second time); only the 1px border
+    # ring is ever read outside the interior, so zero just the ring
+    # instead of memsetting the whole frame
     Wp2 = W + 2
-    mp = np.zeros((H + 2, Wp2), dtype=mag.dtype)
+    mp = np.empty((H + 2, Wp2), dtype=mag.dtype)
     mp[1:-1, 1:-1] = mag
+    mp[0, :] = 0
+    mp[-1, :] = 0
+    mp[:, 0] = 0
+    mp[:, -1] = 0
     mpf = mp.ravel()
     iy, ix = np.divmod(flat_c, W)
     base = (iy + 1) * Wp2 + (ix + 1)

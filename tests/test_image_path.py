@@ -148,3 +148,90 @@ def test_rotation_row_survives_empty_line_filter(spark):
     assert rot[0]["rot_type"] == "sy"
     assert abs(rot[0]["rot_radians"] - 0.4) < 1e-9
     assert filtered.count() == 0
+
+
+def _hough_lines_dense(edges, rho_res=1.0, theta_res=np.pi / 500,
+                       votes_thresh=100):
+    """Dense-accumulator reference formulation of hough_lines (the pre-
+    round-5 shipping implementation): materializes the full
+    (n_theta x n_rho) matrix and runs the peak test as whole-matrix
+    slice comparisons. The shipping kernel streams a rolling 3-row
+    window instead; this differential pins their bit-equality."""
+    import math
+    ys, xs = np.nonzero(edges)
+    if len(xs) == 0:
+        return np.empty((0, 2), dtype=float)
+    h, w = edges.shape
+    thetas = np.arange(0, np.pi, theta_res)
+    n_theta = len(thetas)
+    diag = math.hypot(w, h)
+    n_rho = int(math.ceil(diag / rho_res)) * 2 + 1
+    rho_offset = (n_rho - 1) // 2
+    xf = xs.astype(np.float32)
+    yf = ys.astype(np.float32)
+    inv_rho = np.float32(1.0 / rho_res)
+    cos_t = np.cos(thetas).astype(np.float32)
+    sin_t = np.sin(thetas).astype(np.float32)
+    acc = np.empty((n_theta, n_rho), dtype=np.int32)
+    off = np.float32(rho_offset)
+    scaled = inv_rho != np.float32(1.0)
+    for j in range(n_theta):
+        v = xf * cos_t[j] + yf * sin_t[j]
+        if scaled:
+            v *= inv_rho
+        v = np.rint(v) + off
+        acc[j, :] = np.bincount(v.astype(np.int32), minlength=n_rho)
+    cond = acc > votes_thresh - 1
+    cond[:, 1:] &= acc[:, 1:] > acc[:, :-1]
+    cond[:, 0] &= acc[:, 0] > 0
+    cond[:, :-1] &= acc[:, :-1] >= acc[:, 1:]
+    cond[1:, :] &= acc[1:, :] > acc[:-1, :]
+    cond[0, :] &= acc[0, :] > 0
+    cond[:-1, :] &= acc[:-1, :] >= acc[1:, :]
+    hit_t, hit_r = np.nonzero(cond)
+    if len(hit_t) == 0:
+        return np.empty((0, 2), dtype=float)
+    votes = acc[hit_t, hit_r]
+    rhos = (hit_r - rho_offset) * rho_res
+    ths = thetas[hit_t]
+    order = np.lexsort((ths, rhos, -votes))
+    return np.stack([rhos[order], ths[order]], axis=1)
+
+
+def test_hough_rolling_window_matches_dense():
+    """The rolling 3-row peak finder must be bit-equal to the dense
+    accumulator formulation on rendered pages (incl. rotation), random
+    noise, and degenerate inputs across rho_res/theta_res/thresholds."""
+    cases = []
+    # rendered synthetic pages, straight and rotated
+    params = synth.CorpusParams(seed=9, n_docs=4, n_cols=5,
+                                with_images=True, rotation_deg=1.0,
+                                page_dist=((1, 0.5), (2, 0.5)))
+    cols = synth.family_layout(params)
+    for d in range(3):
+        _, pages = synth.gen_doc(d, params, cols)
+        img = synth.render_page_image(pages[0], cols)
+        cases.append(K.canny_edges(img))
+    straight = synth.CorpusParams(seed=5, n_docs=2, n_cols=6, with_images=True)
+    cols2 = synth.family_layout(straight)
+    _, pages2 = synth.gen_doc(0, straight, cols2)
+    cases.append(K.canny_edges(synth.render_page_image(pages2[0], cols2)))
+    # salt noise (exercises many sub-threshold rows + scattered peaks)
+    rng = np.random.RandomState(3)
+    cases.append(rng.rand(180, 240) > 0.97)
+    # single point, empty map
+    one = np.zeros((50, 60), dtype=bool)
+    one[20, 30] = True
+    cases.append(one)
+    cases.append(np.zeros((40, 40), dtype=bool))
+
+    grids = [(1.0, np.pi / 500, None), (2.0, np.pi / 180, None),
+             (1.0, np.pi / 500, 2), (0.5, np.pi / 360, 25)]
+    for edges in cases:
+        for rho_res, theta_res, thr in grids:
+            votes = thr if thr is not None else max(
+                int(round(0.2 * edges.shape[1])), 2)
+            got = K.hough_lines(edges, rho_res, theta_res, votes)
+            want = _hough_lines_dense(edges, rho_res, theta_res, votes)
+            assert got.shape == want.shape
+            assert np.array_equal(got, want)
