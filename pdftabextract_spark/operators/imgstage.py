@@ -113,6 +113,69 @@ def find_rotation_per_page(lines: DataFrame, rot_thresh, rot_same_dir_thresh,
     return rotations, filtered_lines
 
 
+def detect_lines_with_rotation(pages: DataFrame, media: DataFrame,
+                               rot_thresh, rot_same_dir_thresh,
+                               omit_on_rot_thresh=None, only_direction=None,
+                               persist=False,
+                               canny_low=50, canny_high=150,
+                               hough_rho_res=1.0, hough_theta_res=math.pi / 500,
+                               hough_votes_rel=0.2, edge_method="canny",
+                               hough_votes_abs=None):
+    """Fused detect_lines + find_rotation_per_page: decode -> Canny ->
+    Hough -> classify -> per-page rotation decision + stray-line filter,
+    all inside ONE mapInPandas kernel (round 5).
+
+    The decode kernel already holds each page's complete line set, so
+    routing it through a groupBy("doc_id","page").applyInPandas only to
+    re-assemble the same per-page groups costs a full shuffle exchange
+    plus a second Python-worker round trip per image job. Semantics are
+    identical to the unfused pair (differential-tested row-for-row):
+    pages whose Hough output is empty emit nothing, exactly like the
+    groupBy path where an empty group never forms, and the decision
+    chain is the same K.find_rotation_or_skew call. Returns
+    (rotations, filtered_lines) with the same schemas."""
+    joined = pages.select("doc_id", "page", "media_ref").join(media, "media_ref")
+    edge_fn = K.canny_edges if edge_method == "canny" else K.edges_simple
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                gray = decode_raster(bytes(r.bytes), luma_only=True)
+                edges = edge_fn(gray, canny_low, canny_high)
+                votes = (int(hough_votes_abs) if hough_votes_abs is not None
+                         else int(round(hough_votes_rel * gray.shape[1])))
+                lines = K.hough_lines(edges, hough_rho_res, hough_theta_res,
+                                      max(votes, 2))
+                lh = K.classify_hough_lines(lines)
+                if not lh:
+                    continue
+                (rs_type, rs_rad), filtered = K.find_rotation_or_skew(
+                    lh, rot_thresh, rot_same_dir_thresh,
+                    omit_on_rot_thresh=omit_on_rot_thresh,
+                    only_direction=only_direction)
+                rad = np.nan if rs_rad is None else float(rs_rad)
+                rows.append((r.doc_id, r.page, np.nan, np.nan, np.nan,
+                             None, rs_type, rad))
+                rows.extend((r.doc_id, r.page, rho, theta, tn, d,
+                             rs_type, rad)
+                            for rho, theta, tn, d in filtered)
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "page", "rho", "theta", "theta_norm",
+                "direction", "rot_type", "rot_radians"])
+
+    schema = (_LINES_SCHEMA + ", rot_type string, rot_radians double")
+    enriched = joined.mapInPandas(kernel, schema=schema)
+    if persist:
+        from ..plans.pipeline import _materialize
+        enriched = _materialize(
+            enriched, persist if isinstance(persist, str) else "persist")
+    rotations = enriched.where(F.col("direction").isNull()).select(
+        "doc_id", "page", "rot_type", "rot_radians")
+    filtered_lines = enriched.where(F.col("direction").isNotNull())
+    return rotations, filtered_lines
+
+
 def apply_rotation_to_lines(lines_with_rot: DataFrame, sign: float = -1.0) -> DataFrame:
     """apply_found_rotation_or_skew (imgproc.py:153-176) as a projection:
     theta += sign*radians for affected-direction lines, theta_norm

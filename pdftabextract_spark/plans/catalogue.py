@@ -38,7 +38,7 @@ from ..kernels.clustering import (
     find_clusters_1d_break_dist, zip_clusters_and_values,
     calc_cluster_centers_1d)
 from ..operators.imgstage import (
-    detect_lines, find_rotation_per_page, apply_rotation_to_lines,
+    detect_lines_with_rotation, apply_rotation_to_lines,
     rotate_boxes_back, line_border_centers, filter_empty_cluster_sections)
 from ..operators.model import fit_and_repair
 from ..operators.grid import assign_cells_joined, cell_texts
@@ -80,10 +80,10 @@ def catalogue_column_positions(boxes: DataFrame, pages: DataFrame,
     # kernel's enriched output (tiny line rows) so every downstream action
     # (model-fit collect, rotation join, centers, assignment) reuses one
     # image pass, and the filtered lines already carry the decision
-    lines = detect_lines(pages, media, edge_method="canny")
-    rotations, filtered = find_rotation_per_page(
-        lines, math.radians(0.5), math.radians(1.0),
-        omit_on_rot_thresh=math.radians(0.5), persist=True)
+    rotations, filtered = detect_lines_with_rotation(
+        pages, media, math.radians(0.5), math.radians(1.0),
+        omit_on_rot_thresh=math.radians(0.5), persist=True,
+        edge_method="canny")
     boxes_fixed = rotate_boxes_back(boxes, rotations)
     lines_fixed = apply_rotation_to_lines(filtered)
 

@@ -257,19 +257,19 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
     ``pages`` needs (doc_id, page, media_ref, img_w, img_h)."""
     import math
     from ..operators.imgstage import (
-        detect_lines, find_rotation_per_page, apply_rotation_to_lines,
+        detect_lines_with_rotation, apply_rotation_to_lines,
         rotate_boxes_back, line_border_centers)
     from ..operators.model import fit_and_repair
 
     boxes = boxes.where((F.col("width") > 0) & (F.col("height") > 0))
-    lines = detect_lines(pages, media)
-    # one pass decodes + Hough-transforms each image and decides the
-    # page rotation; persisting the kernel OUTPUT (not the raw lines)
-    # means the decode runs exactly once across all downstream actions
-    # and the rotations/filtered split is two narrow filters, not a
-    # second exchange
-    rotations, filtered = find_rotation_per_page(
-        lines, math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
+    # fused decode + Canny + Hough + per-page rotation decision in ONE
+    # kernel stage (no groupBy exchange to reassemble per-page lines);
+    # persisting the kernel OUTPUT means the decode runs exactly once
+    # across all downstream actions and the rotations/filtered split is
+    # two narrow filters
+    rotations, filtered = detect_lines_with_rotation(
+        pages, media,
+        math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
         omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg),
         persist=params.cache if persist else False)
 

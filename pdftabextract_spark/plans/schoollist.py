@@ -44,7 +44,7 @@ from ..kernels.clustering import (
     find_clusters_1d_break_dist, zip_clusters_and_values,
     calc_cluster_centers_1d)
 from ..operators.imgstage import (
-    detect_lines, find_rotation_per_page, apply_rotation_to_lines,
+    detect_lines, detect_lines_with_rotation, apply_rotation_to_lines,
     rotate_boxes_back, line_border_centers, filter_empty_cluster_sections)
 from ..operators.splitpages import (
     find_separator_positions, split_boxes, split_media)
@@ -126,9 +126,8 @@ def schoollist_row_line_centers(boxes: DataFrame, pages: DataFrame,
     lines) -> horizontal cluster centers with empty-section removal.
 
     Returns (centers (doc_id,page,cluster_id,center,n), boxes_fixed)."""
-    lines = detect_lines(pages, media)
-    rotations, filtered = find_rotation_per_page(
-        lines, math.radians(0.5), math.radians(1.0),
+    rotations, filtered = detect_lines_with_rotation(
+        pages, media, math.radians(0.5), math.radians(1.0),
         omit_on_rot_thresh=math.radians(0.5), persist=True)
     boxes_fixed = rotate_boxes_back(boxes, rotations, force_rotation=True)
     lines_fixed = apply_rotation_to_lines(filtered)
@@ -332,9 +331,8 @@ def schoollist2_row_line_centers(boxes: DataFrame, pages: DataFrame,
     HORIZONTAL lines -> always-rotate box repair -> horizontal cluster
     centers at dist HEADER_ROW_HEIGHT/2, NO empty-section removal (the
     clusters only locate the table header)."""
-    lines = detect_lines(pages, media)
-    rotations, filtered = find_rotation_per_page(
-        lines, math.radians(0.5), math.radians(1.0),
+    rotations, filtered = detect_lines_with_rotation(
+        pages, media, math.radians(0.5), math.radians(1.0),
         omit_on_rot_thresh=math.radians(0.5), only_direction="h",
         persist=True)
     boxes_fixed = rotate_boxes_back(boxes, rotations, force_rotation=True)

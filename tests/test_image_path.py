@@ -235,3 +235,39 @@ def test_hough_rolling_window_matches_dense():
             want = _hough_lines_dense(edges, rho_res, theta_res, votes)
             assert got.shape == want.shape
             assert np.array_equal(got, want)
+
+
+def test_fused_detect_rotation_matches_unfused(spark):
+    """detect_lines_with_rotation (one kernel stage) must produce exactly
+    the same rotations and filtered-lines rows as the unfused
+    detect_lines -> groupBy -> find_rotation_per_page pair."""
+    import math
+    from pdftabextract_spark.operators.imgstage import (
+        detect_lines, find_rotation_per_page, detect_lines_with_rotation)
+    params = synth.CorpusParams(seed=31, n_docs=8, n_cols=5,
+                                with_images=True, rotation_deg=1.0,
+                                page_dist=((1, 0.5), (2, 0.5)))
+    pages = synth.pages_df(spark, params)
+    media = synth.media_df(spark, params)
+    args = (math.radians(0.5), math.radians(1.0))
+    kw = dict(omit_on_rot_thresh=math.radians(0.5))
+
+    lines = detect_lines(pages, media)
+    rot_u, filt_u = find_rotation_per_page(lines, *args, **kw)
+    rot_f, filt_f = detect_lines_with_rotation(pages, media, *args, **kw)
+
+    assert rot_f.exceptAll(rot_u).count() == 0
+    assert rot_u.exceptAll(rot_f).count() == 0
+    assert filt_f.exceptAll(filt_u).count() == 0
+    assert filt_u.exceptAll(filt_f).count() == 0
+    assert rot_f.count() > 0 and filt_f.count() > 0
+
+    # only_direction variant (schoollist_2 stage 3 shape)
+    rot_u2, filt_u2 = find_rotation_per_page(lines, *args,
+                                             only_direction="h", **kw)
+    rot_f2, filt_f2 = detect_lines_with_rotation(pages, media, *args,
+                                                 only_direction="h", **kw)
+    assert rot_f2.exceptAll(rot_u2).count() == 0
+    assert rot_u2.exceptAll(rot_f2).count() == 0
+    assert filt_f2.exceptAll(filt_u2).count() == 0
+    assert filt_u2.exceptAll(filt_f2).count() == 0
