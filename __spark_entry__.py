@@ -494,6 +494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination(d.where(F.col("doc_id") % 7 != 0),
                              d.where(F.col("doc_id") % 7 == 0), n=3)
 
+    def q47_tfidf_topk(spark, sf):
+        # per-document top-3 keywords by tf-idf (rounded-score ranking,
+        # term-asc ties) — keyword extraction / routing tags
+        from pdftabextract_spark.operators.curation import tfidf_topk
+        return tfidf_topk(_load(spark, sf, "documents"), k=3)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q43_html_main_content(spark, sf):
@@ -1200,6 +1206,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated,
                    round(coalesce(h.c, 0) * 1.0 / t.n_shingles, 6) AS rate
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        """,
+        "q47_tfidf_topk": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+                   WHERE w <> '' GROUP BY 1, 2),
+            dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.w, tf.tf,
+                         round(tf.tf * ln(n.n * 1.0 / dfx.df), 6) AS score
+                  FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN n),
+            r AS (SELECT *, CAST(row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, w ASC) AS BIGINT) AS rank
+                  FROM s)
+            SELECT doc_id, w, tf, score, rank FROM r WHERE rank <= 3
         """,
         "q44_fixed_size_sample": """
             SELECT doc_id, stratum, rank FROM (

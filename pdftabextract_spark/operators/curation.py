@@ -280,3 +280,42 @@ def vocab_stats(docs: DataFrame, top_n: int = 20, text_col="text",
         F.count("*").alias("cf"))
     return (stats.orderBy(F.col("df").desc(), F.col("cf").desc(), F.col("w"))
             .limit(top_n))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, n_docs: int = None,
+               text_col="text", id_col="doc_id") -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf — the keyword-extraction /
+    routing-tag step of a curation pipeline. tf = in-document term count,
+    idf = ln(N / df) with df = number of documents containing the term.
+
+    Returns (doc_id, w, tf, score, rank); score is rounded to 6 decimals
+    BEFORE ranking so the (score desc, term asc) order is reproducible
+    across engines (libm ln implementations differ in the last ulp).
+
+    Scale shape: one word explode -> (doc, term) count with map-side
+    partials; document frequency derives from that same aggregate (one
+    more term-keyed agg — vocabulary-sized, far smaller than the corpus);
+    one join back on the term key; one per-document window for the
+    top-k. ``n_docs`` is the corpus-size hint mirroring the similarity
+    operators' ``n_vectors``: pass it in a pipeline to avoid a count()
+    scan over an unmaterialized input (left None, one count action runs
+    here).
+    """
+    if n_docs is None:
+        n_docs = docs.count()
+    words = docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(text_col, " ")).alias("w")) \
+                .where(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "w")
+              .withColumn("score",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_docs)) / F.col("df")),
+                                  6)))
+    win = W.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                               F.col("w").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "w", "tf", "score",
+                    F.col("rank").cast("long").alias("rank")))

@@ -191,3 +191,29 @@ def test_with_token_counts_udf_hook(spark):
     # the packing walk accepts the computed column
     out = pack_next_fit(counted, budget=3, tokens_col="tokens")
     assert out.count() == 2
+
+
+def test_tfidf_topk(spark):
+    from pdftabextract_spark.operators.curation import tfidf_topk
+    import math
+    docs = _docs(spark, [
+        (1, "apple apple banana", "en", "s0"),
+        (2, "banana cherry", "en", "s0"),
+        (3, "cherry cherry cherry date", "en", "s0"),
+    ])
+    out = tfidf_topk(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["w"], r["tf"], r["score"])
+            for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(1, 1)][1] == 2
+    assert abs(rows[(1, 1)][2] - round(2 * math.log(3.0), 6)) < 1e-9
+    assert rows[(1, 2)][0] == "banana"
+    # doc 3: cherry tf=3 df=2 beats date tf=1 df=1 (3*ln(1.5) > ln(3))
+    assert rows[(3, 1)][0] == "cherry"
+    assert rows[(3, 2)][0] == "date"
+    # k bounds output per doc
+    assert out.groupBy("doc_id").count().agg({"count": "max"}).first()[0] <= 2
+    # n_docs hint path gives identical output
+    hinted = tfidf_topk(docs, k=2, n_docs=3)
+    assert hinted.exceptAll(out).count() == 0 and out.exceptAll(hinted).count() == 0
