@@ -19,6 +19,12 @@ stage metrics (executor run time, GC time via the UI REST API) are
 emitted per workload so a slow rep is attributable: wall slow + executor
 time slow = hypervisor stall; wall slow + executor normal = scheduling;
 GC-heavy = memory. Headline stays best-of, with median-of-reps alongside.
+Steady-state measurement (round 5): the driver JVM heap is pre-sized
+(-Xms = -Xmx) so G1 never grows it mid-bench, one FULL-SIZE untimed
+warmup rep per e2e workload absorbs first-touch page faults (this
+sandbox faults pages at ~0.5 GB/s), and an untimed System.gc() between
+reps reclaims dropped localCheckpoint blocks — together these removed
+the 15-390s GC tail the first timed reps of a fresh JVM used to pay.
 
 Usage:
   python bench.py                 # full bench, one JSON line to stdout
@@ -142,6 +148,34 @@ class StageMeter:
         return out
 
 
+def _quiet_median(walls, stats):
+    """Median over hypervisor-quiet reps only: a rep whose summed
+    executorRunTime exceeds 2x the invocation's best is externally
+    stalled (the threads themselves ran slower — e.g. wall 65s /
+    exec 1565s vs wall 4.6s / exec 62s for the IDENTICAL job in one r5
+    session), not a property of the plan. Falls back to the plain
+    median when stage attribution is unavailable."""
+    execs = [s.get("exec_sec") for s in stats]
+    known = [e for e in execs if e]
+    if len(known) != len(walls) or not known:
+        return _median(walls)
+    lo = min(known)
+    quiet = [w for w, e in zip(walls, execs) if e <= 2 * lo]
+    return _median(quiet) if quiet else _median(walls)
+
+
+def _interrep_gc(spark):
+    """UNTIMED housekeeping between reps: localCheckpoint blocks from the
+    previous rep are reclaimed only after the driver JVM garbage-collects
+    the dropped RDD (async ContextCleaner); without a nudge they pile up
+    in the block manager and successive reps GC against a fuller heap
+    (r5 log: gc_sec 16 -> 24 -> 90 across identical steady-state reps)."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _timed(fn, meter):
     """Run fn() once; return (wall, rep_stat_dict)."""
     t0 = time.time()
@@ -234,14 +268,29 @@ def main():
                                 _DOCS_BY_SF.get(_sf_tag(SF_DIR), 6000)))
 
     from pdftabextract_spark.session import get_spark
+    # pre-size the heap (-Xms = -Xmx): without it G1 starts at ~2g and
+    # expands under pressure, so the first 4-6 full-size reps of a fresh
+    # JVM each pay 15-390s of GC + page-fault time (r5 session log:
+    # gc_sec 387 -> 295 -> 33 -> 17 -> 0.6 across identical reps) before
+    # reaching steady state. Benchmarks measure steady state.
+    xms = os.environ.get("SPARK_GRAFT_DRIVER_XMS",
+                         os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     spark = get_spark(app_name="ptx-bench", cores=CPUS,
                       shuffle_partitions=max(CPUS, 8),
                       # UI on for per-rep stage attribution (REST API)
                       extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": "0"})
+                                  "spark.ui.port": "0",
+                                  "spark.driver.extraJavaOptions":
+                                      f"-Xms{xms}"})
     meter = StageMeter(spark)
 
     extract_rep = make_extract_rep(spark, n_docs)
+    # one FULL-SIZE untimed warmup: the small-corpus warmup inside
+    # make_extract_rep covers codegen + Python worker spin-up but not the
+    # first-touch page faults of the real working set (~0.5 GB/s on this
+    # sandbox — BENCH/BASELINE.md "Hardware ceiling"); absorb those here
+    # so timed reps start at steady state
+    extract_rep()
     meter.snapshot()  # drain warmup/materialization stages
 
     if extract_only:
@@ -253,12 +302,15 @@ def main():
             w, st, n_spans = _timed(extract_rep, meter)
             walls.append(w)
             stats.append(st)
+            _interrep_gc(spark)
         best = min(walls)
         result = {
             "metric": "e2e_extraction_and_operator_suite",
             "value": round(best, 3), "unit": "sec",
             "queries": {"extract_e2e": round(best, 3)},
             "queries_median": {"extract_e2e": round(_median(walls), 3)},
+            "queries_median_quiet": {
+                "extract_e2e": round(_quiet_median(walls, stats), 3)},
             "value_median": round(_median(walls), 3),
             "sf": _sf_tag(SF_DIR), "extract_docs": n_docs,
             "extract_spans": n_spans,
@@ -271,9 +323,10 @@ def main():
         return
 
     image_rep, img_pages = make_image_rep(spark)
+    image_rep()  # full-size untimed warmup (same rationale as extract)
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
-    meter.snapshot()  # drain image materialization stages
+    meter.snapshot()  # drain image materialization + warmup stages
 
     # ---- interleaved rounds: extract x2, image x1, each operator x1 ----
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
@@ -289,9 +342,11 @@ def main():
             w, st, n_spans = _timed(extract_rep, meter)
             walls["extract_e2e"].append(w)
             rep_stats["extract_e2e"].append(st)
+            _interrep_gc(spark)
         w, st, _ = _timed(image_rep, meter)
         walls["image_e2e"].append(w)
         rep_stats["image_e2e"].append(st)
+        _interrep_gc(spark)
         for q in OPERATOR_QUERIES:
             w, st, _ = _timed(lambda: qs[q](spark, SF_DIR).count(), meter)
             walls[q].append(w)
@@ -302,6 +357,8 @@ def main():
 
     queries = {k: round(min(v), 3) for k, v in walls.items()}
     medians = {k: round(_median(v), 3) for k, v in walls.items()}
+    medians_quiet = {k: round(_quiet_median(v, rep_stats[k]), 3)
+                     for k, v in walls.items()}
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "e2e_extraction_and_operator_suite",
@@ -312,7 +369,12 @@ def main():
         # "queries" (best-of) stays the headline for continuity, medians
         # make round comparisons robust to single noisy windows
         "queries_median": medians,
+        # median over hypervisor-quiet reps (exec_sec <= 2x best rep's):
+        # the plan-attributable central tendency; raw medians + per-rep
+        # attribution stay alongside so the exclusion is auditable
+        "queries_median_quiet": medians_quiet,
         "value_median": round(sum(medians.values()), 3),
+        "value_median_quiet": round(sum(medians_quiet.values()), 3),
         "sf": _sf_tag(SF_DIR),
         "extract_docs": n_docs,
         "extract_spans": n_spans,
