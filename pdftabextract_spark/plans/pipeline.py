@@ -42,6 +42,20 @@ class PipelineParams:
                                      # Set to a small multiple of total
                                      # cores so one straggler task costs a
                                      # wave fraction, not a whole wave
+    image_kernel_partitions: int = None  # width of the decode/Hough kernel
+                                     # stage (image path). None (default =
+                                     # the media scan's input splits) wins
+                                     # whenever the source splits sanely —
+                                     # measured on the local bench corpus
+                                     # the explicit exchange LOST ~25%
+                                     # (interleaved A/B: 3.79s vs 5.08s
+                                     # best) because shuffling the image
+                                     # bytes costs more than straggler
+                                     # smoothing saves. Reach for it only
+                                     # when a source genuinely collapses
+                                     # many small media files into a
+                                     # handful of splits and the decode
+                                     # visibly serializes
     cache: str = "persist"           # reuse strategy for tables consumed
                                      # by >1 downstream branch (boxes,
                                      # profiles, positions): "persist"
@@ -271,7 +285,8 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
         pages, media,
         math.radians(rot_thresh_deg), math.radians(rot_same_dir_thresh_deg),
         omit_on_rot_thresh=math.radians(omit_on_rot_thresh_deg),
-        persist=params.cache if persist else False)
+        persist=params.cache if persist else False,
+        kernel_partitions=params.image_kernel_partitions)
 
     boxes_fixed = rotate_boxes_back(boxes, rotations)
     if persist:
@@ -292,7 +307,23 @@ def extract_cells_image_path(boxes: DataFrame, pages: DataFrame,
     cols = repaired.select("doc_id", "page",
                            F.col("centers_fixed").alias("col_positions"))
 
-    rows = row_positions(boxes_fixed, params)
+    # rows + extents via the FUSED profile kernel (one exchange), exactly
+    # like the text path's positions_fused — replaces the unfused
+    # cluster_centers window + extents agg + join (3 exchanges over the
+    # box table). row_tops = break-dist cluster MIN tops, identical to
+    # row_positions' center="min" clustering (fused-vs-window parity is
+    # property-tested); the kernel's col medians ride along unused.
+    from ..operators.clustering import page_profiles
+    prof = page_profiles(boxes_fixed, params.col_break_dist,
+                         params.row_break_dist,
+                         num_partitions=params.profile_partitions)
+    pad_y = float(params.pad_y)
+    rows = prof.select(
+        "doc_id", "page",
+        F.concat(
+            F.transform("row_tops", lambda t: t - F.lit(pad_y)),
+            F.array(F.col("max_bottom") + F.lit(pad_y))
+        ).alias("row_positions"))
     positions = cols.join(rows, ["doc_id", "page"])
     from ..operators.grid import assign_cells_joined
     assigned = assign_cells_joined(boxes_fixed, positions)
