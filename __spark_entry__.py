@@ -79,6 +79,9 @@ _BANDED_PLANES = [_hyperplanes(_ANN_DIM, _BANDED_BITS, _ANN_SEED + t)
 # numpy kernels the goldens pin (no Spark, ~0.5s).
 _Q42_SPECS = (("r", 1.0, 3), ("f", 0.0, 2))
 _Q42_ROT_THRESH_DEG, _Q42_SAME_DIR_THRESH_DEG = 0.5, 1.0
+# q48: deliberately skewed vs the corpus (en is ~44% of documents) so the
+# rates differ per stratum; shares appear verbatim in the SQL oracle
+_Q48_TARGETS = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15}
 
 
 def _q42_params(tag, deg, n_docs):
@@ -499,6 +502,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term-asc ties) — keyword extraction / routing tags
         from pdftabextract_spark.operators.curation import tfidf_topk
         return tfidf_topk(_load(spark, sf, "documents"), k=3)
+
+    def q48_source_mix_rates(spark, sf):
+        # source-balancing: per-language Bernoulli keep-rates achieving a
+        # target corpus mix without upsampling (N_out = min n_s/share_s)
+        from pdftabextract_spark.operators.curation import source_mix_rates
+        return source_mix_rates(
+            _load(spark, sf, "documents"), _Q48_TARGETS, stratum_col="lang")
+
+    def q49_boilerplate_fraction(spark, sf):
+        # cross-document boilerplate: per doc, share of its distinct
+        # 3-gram shingles occurring in >= 3 distinct documents (n=3
+        # because the synthetic docs average ~54 words; operator default
+        # n=8 for real corpora)
+        from pdftabextract_spark.operators.curation import (
+            boilerplate_fraction)
+        return boilerplate_fraction(
+            _load(spark, sf, "documents"), n=3, min_docs=3)
 
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
@@ -1222,6 +1242,42 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, w ASC) AS BIGINT) AS rank
                   FROM s)
             SELECT doc_id, w, tf, score, rank FROM r WHERE rank <= 3
+        """,
+        "q48_source_mix_rates": """
+            WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT stratum, n_docs,
+                         CASE stratum
+                             WHEN 'en' THEN CAST(0.3 AS DOUBLE)
+                             WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                             WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                             WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+                             WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+                         END AS target_share
+                  FROM c
+                  WHERE stratum IN ('en', 'de', 'es', 'fr', 'zh')),
+            m AS (SELECT min(n_docs / target_share) AS n_out FROM t)
+            SELECT stratum, n_docs, target_share,
+                   round(target_share * m.n_out / n_docs, 6) AS keep_rate
+            FROM t CROSS JOIN m
+        """,
+        "q49_boilerplate_fraction": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                   FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+            freq AS (SELECT s FROM sh GROUP BY s
+                     HAVING count(*) >= 3),
+            tot AS (SELECT doc_id, count(*) AS n_shingles
+                    FROM sh GROUP BY 1),
+            hit AS (SELECT doc_id, count(*) AS c FROM sh
+                    WHERE s IN (SELECT s FROM freq) GROUP BY 1)
+            SELECT t.doc_id, t.n_shingles,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS boilerplate,
+                   round(coalesce(h.c, 0) * 1.0 / t.n_shingles, 6) AS rate
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
         """,
         "q44_fixed_size_sample": """
             SELECT doc_id, stratum, rank FROM (

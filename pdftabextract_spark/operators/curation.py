@@ -221,6 +221,74 @@ def stratified_sample(docs: DataFrame, rates: dict, default_rate=0.0,
 
 # ------------------------------------------------- source rollups
 
+def source_mix_rates(docs: DataFrame, targets: dict,
+                     stratum_col="source") -> DataFrame:
+    """Per-stratum Bernoulli keep-rates that achieve a target corpus mix
+    WITHOUT upsampling — the standard source-balancing step of an LLM
+    data pipeline (cf. the published Pile / CCNet / RefinedWeb mixing
+    recipes). ``targets`` maps stratum value -> desired output share
+    (shares over the targeted strata should sum to ~1). The largest
+    downsample-only corpus honoring the mix has
+    ``N_out = min_s(n_s / share_s)``; each stratum then keeps
+    ``rate_s = share_s * N_out / n_s`` (<= 1 by construction, = 1 for
+    the binding stratum). Returns (stratum, n_docs, target_share,
+    keep_rate); feed the rates to :func:`stratified_sample`.
+
+    Scale shape: ONE count aggregation (map-side partials) down to
+    |strata| rows, a literal-map lookup, and a broadcast of the 1-row
+    minimum — nothing driver-side, no second pass over the corpus."""
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    mapping = F.create_map(
+        *[F.lit(x) for k, v in targets.items() for x in (k, float(v))])
+    t = (counts
+         .withColumn("target_share", mapping[F.col(stratum_col)])
+         .where(F.col("target_share").isNotNull()))
+    n_out = t.agg(F.min(F.col("n_docs") / F.col("target_share"))
+                  .alias("_n_out"))
+    from pyspark.sql.functions import broadcast
+    return (t.crossJoin(broadcast(n_out))
+            .select(F.col(stratum_col).alias("stratum"),
+                    "n_docs", "target_share",
+                    F.round(F.col("target_share") * F.col("_n_out")
+                            / F.col("n_docs"), 6).alias("keep_rate")))
+
+
+def boilerplate_fraction(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                         text_col="text", id_col="doc_id") -> DataFrame:
+    """Cross-document boilerplate signal: per document, the fraction of
+    its DISTINCT word ``n``-gram shingles that occur in at least
+    ``min_docs`` distinct documents corpus-wide (headers, footers,
+    license blurbs, templated chrome). Complements
+    :func:`repetition_signals` (within-doc repetition) and
+    :func:`contamination` (train-vs-eval overlap): this one needs no
+    reference set — the corpus itself is the evidence. Returns
+    (doc_id, n_shingles, boilerplate, rate); documents with fewer than
+    ``n`` words drop out (no shingles), like the other shingle ops.
+
+    Scale shape: shingles are xxhash64 8-byte keys
+    (:func:`~pdftabextract_spark.operators.dedup.word_shingles`,
+    dedup.py:88-106, distinct per doc); the document-frequency count is
+    one groupBy on the hash with map-side partials, and the frequent set
+    comes back as a left-semi join — never an all-pairs comparison. The
+    shingle table feeds three consumers (df count, per-doc totals, hit
+    count); persist the input upstream when running standalone at scale
+    so the scan+shingle lineage isn't recomputed."""
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n, text_col, id_col, hashed=True)
+    frequent = (sh.groupBy("s").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") >= int(min_docs)).select("s"))
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (sh.join(frequent, "s", "left_semi")
+           .groupBy("doc_id").agg(F.count("*").alias("_b")))
+    return (tot.join(hit, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("_b"), F.lit(0)).cast("long")
+                     .alias("boilerplate"),
+                    F.round(F.coalesce(F.col("_b"), F.lit(0))
+                            / F.col("n_shingles"), 6).alias("rate")))
+
+
 def source_rollup(docs: DataFrame, text_col="text", id_col="doc_id",
                   source_col="source") -> DataFrame:
     """Per-source curation dashboard: document count, distinct languages,

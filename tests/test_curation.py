@@ -217,3 +217,60 @@ def test_tfidf_topk(spark):
     # n_docs hint path gives identical output
     hinted = tfidf_topk(docs, k=2, n_docs=3)
     assert hinted.exceptAll(out).count() == 0 and out.exceptAll(hinted).count() == 0
+
+
+def test_source_mix_rates_known(spark):
+    from pdftabextract_spark.operators.curation import source_mix_rates
+    # 60/30/10 corpus, target 50/25/25: the rarest stratum c binds
+    # (N_out = 10/0.25 = 40) -> rates 40*.5/60, 40*.25/30, 1.0
+    rows = ([(i, "t", "en", "a") for i in range(60)]
+            + [(100 + i, "t", "en", "b") for i in range(30)]
+            + [(200 + i, "t", "en", "c") for i in range(10)])
+    docs = _docs(spark, rows)
+    got = {r["stratum"]: r for r in source_mix_rates(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}).collect()}
+    assert got["a"]["keep_rate"] == round(20 / 60, 6)
+    assert got["b"]["keep_rate"] == round(10 / 30, 6)
+    assert got["c"]["keep_rate"] == 1.0
+    assert got["a"]["n_docs"] == 60 and got["c"]["target_share"] == 0.25
+
+
+def test_source_mix_rates_ignores_untargeted(spark):
+    from pdftabextract_spark.operators.curation import source_mix_rates
+    docs = _docs(spark, [(1, "t", "en", "a"), (2, "t", "en", "junk")])
+    out = source_mix_rates(docs, {"a": 1.0}).collect()
+    assert [r["stratum"] for r in out] == ["a"]
+    assert out[0]["keep_rate"] == 1.0
+
+
+def test_boilerplate_fraction_known(spark):
+    from pdftabextract_spark.operators.curation import boilerplate_fraction
+    # shingle "x y z" appears in docs 1,2,3 (>= min_docs 3); every other
+    # shingle is unique to its doc. doc 4 is too short and drops out.
+    docs = _docs(spark, [
+        (1, "x y z p q", "en", "s0"),   # shingles: xyz, yzp, zpq
+        (2, "a x y z", "en", "s0"),     # axy, xyz
+        (3, "x y z", "en", "s0"),       # xyz
+        (4, "x y", "en", "s0"),
+    ])
+    got = {r["doc_id"]: r for r in boilerplate_fraction(
+        docs, n=3, min_docs=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_shingles"] == 3 and got[1]["boilerplate"] == 1
+    assert got[1]["rate"] == round(1 / 3, 6)
+    assert got[2]["rate"] == 0.5
+    assert got[3]["rate"] == 1.0
+
+
+def test_boilerplate_fraction_min_docs_boundary(spark):
+    from pdftabextract_spark.operators.curation import boilerplate_fraction
+    # the same shingle twice in ONE doc counts once (distinct per doc):
+    # "u v w" occurs in doc 1 twice but only doc 1 overall -> below
+    # min_docs=2, not boilerplate
+    docs = _docs(spark, [
+        (1, "u v w u v w", "en", "s0"),
+        (2, "m n o", "en", "s0"),
+    ])
+    got = {r["doc_id"]: r for r in boilerplate_fraction(
+        docs, n=3, min_docs=2).collect()}
+    assert got[1]["boilerplate"] == 0 and got[2]["boilerplate"] == 0
