@@ -148,6 +148,28 @@ class StageMeter:
         return out
 
 
+def _bandwidth_probe_gbps():
+    """~0.3s single-thread memory-copy bandwidth probe. The sandbox's
+    hypervisor throughput swings 3-10x between minutes (BENCH/BASELINE.md
+    'Hardware ceiling': quiet ~0.1 GB/s/worker); stamping the window
+    speed into the record makes every invocation self-describing —
+    a slow headline with a slow probe is the host, not the plan."""
+    try:
+        import numpy as np
+        buf = np.zeros(32 * 1024 * 1024 // 8)  # 32 MB of float64
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 0.3:
+            buf2 = buf.copy()
+            n += 1
+        dt = time.time() - t0
+        del buf2
+        # read + write 32 MB per copy
+        return round(n * 2 * 32 / 1024.0 / dt, 3)
+    except Exception:
+        return None
+
+
 def _quiet_median(walls, stats):
     """Median over hypervisor-quiet reps only: a rep whose summed
     executorRunTime exceeds 2x the invocation's best is externally
@@ -263,6 +285,7 @@ def make_image_rep(spark, n_docs=200):
 
 
 def main():
+    bw_start = _bandwidth_probe_gbps()
     extract_only = "--extract-only" in sys.argv
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS",
                                 _DOCS_BY_SF.get(_sf_tag(SF_DIR), 6000)))
@@ -317,6 +340,8 @@ def main():
             "extract_docs_per_sec": round(n_docs / best, 2),
             "extract_rep_stats": stats,
             "cache_mode": CACHE_MODE, "cpus": CPUS,
+            "host_bw_gbps": {"start": bw_start,
+                             "end": _bandwidth_probe_gbps()},
         }
         spark.stop()
         print(json.dumps(result))
@@ -388,6 +413,9 @@ def main():
         # e2e workloads — a slow rep is diagnosable from the record alone
         "extract_rep_stats": rep_stats["extract_e2e"],
         "image_rep_stats": rep_stats["image_e2e"],
+        # host window speed at invocation start/end (quiet ~0.1 GB/s):
+        # a slow headline with a slow probe is the host, not the plan
+        "host_bw_gbps": {"start": bw_start, "end": _bandwidth_probe_gbps()},
     }
     spark.stop()
     print(json.dumps(result))
