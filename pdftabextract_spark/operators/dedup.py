@@ -94,16 +94,24 @@ def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
     the exchange (string keys dominated the q18 shuffle). A 64-bit
     collision between two distinct shingles of the same doc pair is the
     only way this changes a count (~1e-10 at 10^5 distinct shingles,
-    deterministic when it happens)."""
+    deterministic when it happens).
+
+    .. note:: **Changed in round 5** — per-doc dedup moved from a global
+       ``(doc_id, s)`` ``distinct()`` (a full-corpus exchange) to a
+       map-side ``array_distinct`` inside the shingle row, before the
+       explode. Output multiset is identical (a shingle is unique within
+       its own doc either way); at 10^12 docs this removes the single
+       largest shuffle of the n-gram path — shingle rows now leave the
+       scan stage already deduped, and the first exchange downstream is
+       the one the consumer actually needs (hash by ``s``)."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("ws"))
     d = d.where(F.size("ws") >= n)
-    shingle = F.explode(F.transform(
+    grams = F.transform(
         F.sequence(F.lit(0), F.size("ws") - n),
-        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n))))
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
     if hashed:
-        return (d.select("doc_id", shingle.alias("raw"))
-                .select("doc_id", F.xxhash64("raw").alias("s")).distinct())
-    return d.select("doc_id", shingle.alias("s")).distinct()
+        grams = F.transform(grams, lambda s: F.xxhash64(s))
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
 
 
 MAX_SHINGLE_DF_DEFAULT = 1000
