@@ -520,6 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return boilerplate_fraction(
             _load(spark, sf, "documents"), n=3, min_docs=3)
 
+    def q50_duplicate_passages(spark, sf):
+        # Lee et al. (ACL 2022) ExactSubstr signal at word granularity:
+        # per doc, fraction of its k-gram windows (with multiplicity)
+        # whose content occurs in at least one other document (k=8 here;
+        # operator default k=50 matches the paper's token threshold)
+        from pdftabextract_spark.operators.curation import (
+            duplicate_passage_rate)
+        return duplicate_passage_rate(_load(spark, sf, "documents"), k=8)
+
     # ---- pipeline-level (no SQL oracle: rows-only driver check) ----
 
     def q43_html_main_content(spark, sf):
@@ -1278,6 +1287,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.c, 0) AS BIGINT) AS boilerplate,
                    round(coalesce(h.c, 0) * 1.0 / t.n_shingles, 6) AS rate
             FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        """,
+        "q50_duplicate_passages": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 8),
+            wins AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS s
+                     FROM d, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+            nd AS (SELECT s, count(DISTINCT doc_id) AS ndocs
+                   FROM wins GROUP BY s)
+            SELECT w.doc_id, count(*) AS n_windows,
+                   count(*) FILTER (WHERE nd.ndocs > 1) AS dup_windows,
+                   round((count(*) FILTER (WHERE nd.ndocs > 1)) * 1.0
+                         / count(*), 6) AS dup_rate
+            FROM wins w JOIN nd ON w.s = nd.s
+            GROUP BY w.doc_id
         """,
         "q44_fixed_size_sample": """
             SELECT doc_id, stratum, rank FROM (

@@ -289,6 +289,50 @@ def boilerplate_fraction(docs: DataFrame, n: int = 8, min_docs: int = 2,
                             / F.col("n_shingles"), 6).alias("rate")))
 
 
+def duplicate_passage_rate(docs: DataFrame, k: int = 50, text_col="text",
+                           id_col="doc_id") -> DataFrame:
+    """Exact duplicate-passage rate per document (the ExactSubstr dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, computed at word granularity): the fraction
+    of a document's word ``k``-gram windows — WITH multiplicity, so the
+    rate measures how much of the document's running text sits inside a
+    duplicated passage — whose exact content also occurs in at least one
+    OTHER document. Differs from :func:`boilerplate_fraction` (distinct
+    shingle share ≥ min_docs, a vocabulary-level signal) by weighting by
+    occurrence count: a doc that repeats one shared passage many times
+    scores high here and low there. Returns (doc_id, n_windows,
+    dup_windows, dup_rate); documents shorter than ``k`` words drop out.
+    Default ``k=50`` follows the paper's 50-token threshold; pass a
+    smaller ``k`` for short-document corpora.
+
+    Scale shape: windows are xxhash64 8-byte keys built JVM-side
+    (transform over sequence — no Python); the distinct-document count
+    per window reuses the map-side-deduped
+    :func:`~pdftabextract_spark.operators.dedup.word_shingles` rows
+    (dedup.py:88-115), so the census groupBy receives at most one row
+    per (doc, window) and partial-aggregates map-side. The census joins
+    back to the multiplicity-bearing window stream on the 8-byte hash —
+    a shuffled equi-join, never all-pairs — and a hot boilerplate window
+    costs its document frequency once in the census, not df² anywhere."""
+    from .dedup import word_shingles
+
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.split(text_col, " ").alias("ws"))
+         .where(F.size("ws") >= k))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, k))))
+    wins = d.select("doc_id", F.explode(grams).alias("s"))
+    ndocs = (word_shingles(docs, k, text_col, id_col, hashed=True)
+             .groupBy("s").agg(F.count("*").alias("_nd")))
+    return (wins.join(ndocs, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.count(F.when(F.col("_nd") > 1, True)).alias("dup_windows"))
+            .withColumn("dup_rate",
+                        F.round(F.col("dup_windows") / F.col("n_windows"), 6)))
+
+
 def source_rollup(docs: DataFrame, text_col="text", id_col="doc_id",
                   source_col="source") -> DataFrame:
     """Per-source curation dashboard: document count, distinct languages,

@@ -274,3 +274,37 @@ def test_boilerplate_fraction_min_docs_boundary(spark):
     got = {r["doc_id"]: r for r in boilerplate_fraction(
         docs, n=3, min_docs=2).collect()}
     assert got[1]["boilerplate"] == 0 and got[2]["boilerplate"] == 0
+
+
+def test_duplicate_passage_rate_known(spark):
+    from pdftabextract_spark.operators.curation import duplicate_passage_rate
+    docs = _docs(spark, [
+        # doc 1: windows (k=2): "a b","b c","c d" — "a b" and "b c" also in
+        # doc 2 -> 2/3 dup. The repeated "a b" in doc 3 counts TWICE there
+        # (multiplicity) but doc 1's own count is per-occurrence too.
+        (1, "a b c d", "en", "s0"),
+        (2, "a b c", "en", "s0"),       # "a b","b c" both shared -> 2/2
+        (3, "a b a b", "en", "s0"),     # "a b"(x2 shared), "b a"(only here)
+        (4, "z", "en", "s0"),           # < k words: dropped
+    ])
+    got = {r["doc_id"]: r for r in
+           duplicate_passage_rate(docs, k=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_windows"], got[1]["dup_windows"]) == (3, 2)
+    assert got[1]["dup_rate"] == round(2 / 3, 6)
+    assert (got[2]["n_windows"], got[2]["dup_windows"]) == (2, 2)
+    assert got[2]["dup_rate"] == 1.0
+    # doc 3: windows "a b","b a","a b" — multiplicity: 2 of 3 duplicated
+    assert (got[3]["n_windows"], got[3]["dup_windows"]) == (3, 2)
+    assert got[3]["dup_rate"] == round(2 / 3, 6)
+
+
+def test_duplicate_passage_rate_within_doc_only_not_dup(spark):
+    # a passage repeated ONLY within one doc is not cross-doc duplication
+    from pdftabextract_spark.operators.curation import duplicate_passage_rate
+    docs = _docs(spark, [(1, "x y x y x y", "en", "s0"),
+                         (2, "p q r s", "en", "s0")])
+    got = {r["doc_id"]: r for r in
+           duplicate_passage_rate(docs, k=2).collect()}
+    assert got[1]["dup_windows"] == 0 and got[1]["dup_rate"] == 0.0
+    assert got[2]["dup_windows"] == 0
