@@ -247,12 +247,18 @@ def project_polarcoord_lines(lines, img_w, img_h):
         cos_t = np.cos(theta)
         sin_t = np.sin(theta)
 
-        x_at_y0 = rho / cos_t if cos_t != 0 else float("inf")
-        y_at_x0 = rho / sin_t if sin_t != 0 else float("inf")
-        # note: the reference swaps img_w/img_h in these two formulas
-        # (geom.py:268-269) — replicated for exact parity
-        x_at_ymax = (rho - img_w * sin_t) / cos_t if cos_t != 0 else float("inf")
-        y_at_xmax = (rho - img_h * cos_t) / sin_t if sin_t != 0 else float("inf")
+        # a denormal sin/cos overflows the division to inf, which the
+        # nearest-border correction below handles identically to the
+        # exact-zero branch — the warning is noise, the value is right
+        with np.errstate(over="ignore"):
+            x_at_y0 = rho / cos_t if cos_t != 0 else float("inf")
+            y_at_x0 = rho / sin_t if sin_t != 0 else float("inf")
+            # note: the reference swaps img_w/img_h in these two formulas
+            # (geom.py:268-269) — replicated for exact parity
+            x_at_ymax = (rho - img_w * sin_t) / cos_t if cos_t != 0 \
+                else float("inf")
+            y_at_xmax = (rho - img_h * cos_t) / sin_t if sin_t != 0 \
+                else float("inf")
 
         def _borderdist(v, border):
             return v if v <= 0 else v - border
