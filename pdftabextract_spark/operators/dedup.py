@@ -116,29 +116,69 @@ def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
 
 MAX_SHINGLE_DF_DEFAULT = 1000
 
+# inputs whose Catalyst size estimate is below this are repartitioned to the
+# default parallelism before per-row shingle work (a single small parquet
+# file yields 1-2 scan splits, serializing the whole narrow stage on a
+# many-core host); large inputs already arrive in enough splits and are
+# left untouched
+SPREAD_INPUT_MAX_BYTES = 1 << 30
+
+
+def _spread_small_input(df: DataFrame, max_bytes=SPREAD_INPUT_MAX_BYTES) -> DataFrame:
+    """Round-robin repartition a *small* input across the default
+    parallelism (no-op for inputs estimated above ``max_bytes`` or when
+    plan statistics are unavailable). Driver-side only — reads the
+    optimized plan's size estimate, runs no job. Downstream consumers
+    must not depend on row order (all ours aggregate)."""
+    try:
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                       .sizeInBytes()))
+    except Exception:
+        return df
+    return df.repartition(target) if size <= max_bytes else df
+
 
 def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
                         text_col="text", id_col="doc_id",
                         max_shingle_df=MAX_SHINGLE_DF_DEFAULT,
                         log_dropped=False) -> DataFrame:
-    """Near-dup pairs by word-n-gram Jaccard >= threshold via shingle
-    equi-join. ``max_shingle_df`` drops shingles appearing in more than
-    that many docs (stop-shingles) — THE scale knob: it bounds the
-    per-shingle join fanout at df^2 (default 1000 -> <=1e6 pairs per hot
-    shingle) at the cost of slightly underestimating overlap of
-    boilerplate-heavy pairs. An unbounded hot shingle (site boilerplate in
-    50% of a 10^9-doc corpus) otherwise makes the equi-join quadratic in
-    its document frequency.
+    """Near-dup pairs by word-n-gram Jaccard >= threshold. ``max_shingle_df``
+    drops shingles appearing in more than that many docs (stop-shingles) —
+    THE scale knob: it bounds the per-shingle pair fanout at df^2 (default
+    1000 -> <=1e6 pairs per hot shingle) at the cost of slightly
+    underestimating overlap of boilerplate-heavy pairs. An unbounded hot
+    shingle (site boilerplate in 50% of a 10^9-doc corpus) otherwise makes
+    pair generation quadratic in its document frequency.
 
     .. note:: **Changed in round 3** — the default was ``None`` (exact
        Jaccard, unbounded fanout); it is now 1000. Callers relying on
        exact Jaccard for shingles with document frequency above 1000
        must pass ``max_shingle_df=None`` explicitly.
 
+    .. note:: **Rewritten in round 6 (plan only — output identical).**
+       Candidate pairs used to come from a shingle self-equi-join
+       (``a.s = b.s AND a.doc_id < b.doc_id``): the full pair fanout
+       (~df^2/2 rows per shingle, measured 127M rows / 849 MB at the
+       sf1.0 bench corpus) was produced by join machinery inside the
+       scan stage and shuffled un-reduced into the ``(d1, d2)``
+       aggregation. Pairs are now enumerated from a per-shingle sorted
+       doc-id list (``groupBy(s).collect_list`` — buffers bounded by
+       ``max_shingle_df`` because stop-shingles are dropped first) with a
+       JVM ``transform``/``slice``/``flatten`` expression, so generation
+       is codegen over 8-byte longs, runs at full parallelism after the
+       shingle exchange, and the shingle stream is derived once instead
+       of four times (census / anti-join probe / both self-join sides).
+       The doc-id list per surviving shingle is exactly the set the
+       self-join matched, and ``i < j`` over the sorted list is exactly
+       ``d1 < d2`` — same pair multiset, same counts.
+
     Pass ``max_shingle_df=None`` for exact
     Jaccard; ``log_dropped=True`` counts and warns about dropped
     stop-shingles (one extra action — keep off the hot path)."""
-    sh = word_shingles(docs, n, text_col, id_col, hashed=True)
+    sh = word_shingles(_spread_small_input(docs), n, text_col, id_col,
+                       hashed=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().where(F.col("count") > max_shingle_df) \
                 .select("s")
@@ -150,11 +190,38 @@ def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,
                     "ngram_jaccard_pairs: dropping %d stop-shingles with "
                     "df > %d" % (n_hot, max_shingle_df))
         sh = sh.join(hot, "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    # one exchange on s; per-group doc lists are bounded by max_shingle_df
+    # (the anti-join above removed every group larger than the cap), so the
+    # aggregation buffer is O(cap) per shingle at any corpus size. With
+    # max_shingle_df=None the buffer is unbounded — but so is the pair
+    # fanout that mode explicitly opts into.
+    #
+    # The repartition pins the exchange at the session's shuffle
+    # parallelism: AQE sizes post-shuffle partitions by the *exchange*
+    # bytes (a few MB of doc-id lists) and would coalesce the stage that
+    # explodes them into the full pair fanout (measured: 10 tasks for a
+    # 125M-row generation on 32 cores).
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    g = (sh.repartition(n_part, "s")
+         .groupBy("s").agg(F.collect_list("doc_id").alias("ds")))
+    sizes = (g.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    # enumerate i < j pairs of the sorted list with two chained generators
+    # over primitive longs (slice is 1-based; length may overshoot — slice
+    # clamps): no per-pair struct allocation, no flattened pair arrays
+    # candidate pairs are near-unique (measured 114M distinct of 127M
+    # generated at sf1.0), so a map-side partial aggregation cannot reduce
+    # the exchange — the explicit repartition on the group keys makes the
+    # planner emit ONE complete aggregation after the exchange instead of
+    # a useless partial pass over the full fanout before it
+    pairs = (g.where(F.size("ds") >= 2)
+             .select(F.array_sort("ds").alias("ds"))
+             .select("ds", F.posexplode("ds"))
+             .select(F.col("col").alias("d1"),
+                     F.explode(F.slice("ds", F.col("pos") + F.lit(2),
+                                       F.size("ds"))).alias("d2"))
+             .repartition(n_part, "d1", "d2")
+             .groupBy("d1", "d2")
              .agg(F.count("*").alias("common")))
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
