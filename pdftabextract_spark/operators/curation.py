@@ -18,6 +18,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _materialize(df: DataFrame, mode) -> DataFrame:
+    """Optional materialization for frames consumed by several downstream
+    branches (mirrors plans.pipeline._materialize): ``"persist"`` =
+    MEMORY_AND_DISK cache, ``"checkpoint"`` = lazy localCheckpoint (cuts
+    lineage, no columnar re-encode), anything falsy / ``"none"`` = no
+    reuse (each consumer recomputes the lineage). Operators default to no
+    reuse — cluster-safe, nothing pinned — and expose a ``cache=``
+    parameter so corpus-scale callers can stop a multi-consumer shingle
+    stream from re-deriving its input 2-3 times per call."""
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    if mode == "persist":
+        from pyspark import StorageLevel
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 # ------------------------------------------------- repetition signals
 
 def repetition_signals(docs: DataFrame, text_col="text",
@@ -150,7 +167,8 @@ def pack_next_fit(docs: DataFrame, budget: int, text_col="text",
 
 def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
                   text_col="text", id_col="doc_id", eval_text_col=None,
-                  eval_id_col=None, broadcast_eval=True) -> DataFrame:
+                  eval_id_col=None, broadcast_eval=True,
+                  cache=None) -> DataFrame:
     """Train-vs-eval n-gram overlap — the industry-standard contamination
     check (GPT-3/PaLM/Llama eval decontamination): per training document,
     the fraction of its distinct word ``n``-gram shingles that also occur
@@ -167,24 +185,32 @@ def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     set is megabytes against a 100 TB train corpus, making the check one
     map-side semi-join plus one groupBy on doc_id. Pass
     ``broadcast_eval=False`` for an oversized eval side (falls back to a
-    shuffled left-semi join on the hash key)."""
+    shuffled left join on the hash key).
+
+    Round 6 (plan only — output identical): totals and hits used to be
+    two separate consumers of the train shingle stream (a groupBy each,
+    merged with a doc_id join), so the scan + shingle derivation ran
+    twice per call. They are now ONE pass: a left join against the
+    distinct eval set marks each shingle row, and a single groupBy counts
+    rows and marks together (the eval set is distinct, so the left join
+    is fanout-free). ``cache`` additionally materializes the marked
+    stream (``"persist"`` / ``"checkpoint"``) for callers composing this
+    with other shingle consumers."""
     from pyspark.sql.functions import broadcast
     from .dedup import word_shingles
 
     sh = word_shingles(docs, n, text_col, id_col, hashed=True)
     ev = word_shingles(eval_docs, n, eval_text_col or text_col,
                        eval_id_col or id_col, hashed=True) \
-        .select("s").distinct()
+        .select("s").distinct().withColumn("_m", F.lit(1))
     if broadcast_eval:
         ev = broadcast(ev)
-    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = (sh.join(ev, "s", "left_semi")
-           .groupBy("doc_id").agg(F.count("*").alias("_hits")))
-    return (tot.join(hit, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce(F.col("_hits"), F.lit(0)).cast("long")
-                     .alias("contaminated"),
-                    F.round(F.coalesce(F.col("_hits"), F.lit(0))
+    marked = _materialize(sh.join(ev, "s", "left"), cache)
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("_m").alias("contaminated"))
+            .select("doc_id", "n_shingles", "contaminated",
+                    F.round(F.col("contaminated")
                             / F.col("n_shingles"), 6).alias("rate")))
 
 
@@ -254,7 +280,8 @@ def source_mix_rates(docs: DataFrame, targets: dict,
 
 
 def boilerplate_fraction(docs: DataFrame, n: int = 8, min_docs: int = 2,
-                         text_col="text", id_col="doc_id") -> DataFrame:
+                         text_col="text", id_col="doc_id",
+                         cache=None) -> DataFrame:
     """Cross-document boilerplate signal: per document, the fraction of
     its DISTINCT word ``n``-gram shingles that occur in at least
     ``min_docs`` distinct documents corpus-wide (headers, footers,
@@ -269,28 +296,36 @@ def boilerplate_fraction(docs: DataFrame, n: int = 8, min_docs: int = 2,
     (:func:`~pdftabextract_spark.operators.dedup.word_shingles`,
     dedup.py:88-106, distinct per doc); the document-frequency count is
     one groupBy on the hash with map-side partials, and the frequent set
-    comes back as a left-semi join — never an all-pairs comparison. The
-    shingle table feeds three consumers (df count, per-doc totals, hit
-    count); persist the input upstream when running standalone at scale
-    so the scan+shingle lineage isn't recomputed."""
+    comes back as a join — never an all-pairs comparison.
+
+    Round 6 (plan only — output identical): per-doc totals and hit counts
+    used to be two separate consumers of the shingle stream (two groupBys
+    merged on doc_id), so scan + shingling ran three times per call
+    (census, totals, hits). Totals and hits are now ONE pass — a left
+    join against the frequent set marks each shingle row (fanout-free:
+    the frequent set has one row per shingle) and a single groupBy counts
+    rows and marks together — leaving two derivations (census + marked
+    stream). ``cache`` (``"persist"`` / ``"checkpoint"``) materializes
+    the shingle stream so census and probe share one derivation at
+    corpus scale."""
     from .dedup import word_shingles
 
-    sh = word_shingles(docs, n, text_col, id_col, hashed=True)
+    sh = _materialize(
+        word_shingles(docs, n, text_col, id_col, hashed=True), cache)
     frequent = (sh.groupBy("s").agg(F.count("*").alias("_df"))
-                .where(F.col("_df") >= int(min_docs)).select("s"))
-    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = (sh.join(frequent, "s", "left_semi")
-           .groupBy("doc_id").agg(F.count("*").alias("_b")))
-    return (tot.join(hit, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce(F.col("_b"), F.lit(0)).cast("long")
-                     .alias("boilerplate"),
-                    F.round(F.coalesce(F.col("_b"), F.lit(0))
+                .where(F.col("_df") >= int(min_docs)).select("s")
+                .withColumn("_m", F.lit(1)))
+    return (sh.join(frequent, "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("_m").alias("boilerplate"))
+            .select("doc_id", "n_shingles", "boilerplate",
+                    F.round(F.col("boilerplate")
                             / F.col("n_shingles"), 6).alias("rate")))
 
 
 def duplicate_passage_rate(docs: DataFrame, k: int = 50, text_col="text",
-                           id_col="doc_id") -> DataFrame:
+                           id_col="doc_id", cache=None) -> DataFrame:
     """Exact duplicate-passage rate per document (the ExactSubstr dedup
     signal of Lee et al., "Deduplicating Training Data Makes Language
     Models Better", ACL 2022, computed at word granularity): the fraction
@@ -313,17 +348,29 @@ def duplicate_passage_rate(docs: DataFrame, k: int = 50, text_col="text",
     per (doc, window) and partial-aggregates map-side. The census joins
     back to the multiplicity-bearing window stream on the 8-byte hash —
     a shuffled equi-join, never all-pairs — and a hot boilerplate window
-    costs its document frequency once in the census, not df² anywhere."""
-    from .dedup import word_shingles
+    costs its document frequency once in the census, not df² anywhere.
 
+    Round 6 (plan only — output identical): the per-doc window-hash
+    ARRAY is built once and shared by both consumers (the multiplicity
+    stream explodes it, the census explodes its ``array_distinct`` —
+    previously the census re-split and re-hashed the text through a
+    separate ``word_shingles`` call, a third pass over the corpus).
+    ``cache`` (``"persist"`` / ``"checkpoint"``) materializes the
+    hash-array frame so the two consumers share one scan at corpus
+    scale."""
     d = (docs.select(F.col(id_col).alias("doc_id"),
                      F.split(text_col, " ").alias("ws"))
          .where(F.size("ws") >= k))
+    # greatest(..., 0) keeps the expression total: sequence(0, negative)
+    # generates a DESCENDING range whose -1 crashes slice when codegen
+    # evaluates the array before the >= k filter drops the row (the row
+    # is still dropped; a clamped bogus gram on it is never observed)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - k),
+        F.sequence(F.lit(0), F.greatest(F.size("ws") - k, F.lit(0))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("ws"), i + 1, k))))
-    wins = d.select("doc_id", F.explode(grams).alias("s"))
-    ndocs = (word_shingles(docs, k, text_col, id_col, hashed=True)
+    g = _materialize(d.select("doc_id", grams.alias("gs")), cache)
+    wins = g.select("doc_id", F.explode("gs").alias("s"))
+    ndocs = (g.select(F.explode(F.array_distinct("gs")).alias("s"))
              .groupBy("s").agg(F.count("*").alias("_nd")))
     return (wins.join(ndocs, "s")
             .groupBy("doc_id")
@@ -359,20 +406,41 @@ def source_rollup(docs: DataFrame, text_col="text", id_col="doc_id",
                     F.round("_dup", 6).alias("dup_rate")))
 
 
+FIXED_SAMPLE_SALTS = 64
+
+
 def fixed_size_sample(docs: DataFrame, n: int, stratum_col="lang",
-                      id_col="doc_id") -> DataFrame:
+                      id_col="doc_id",
+                      salts: int = FIXED_SAMPLE_SALTS) -> DataFrame:
     """Deterministic fixed-size sample per stratum: rank rows by
     md5(doc_id) inside each stratum and keep the first ``n`` — a
     reproducible substitute for reservoir sampling whose membership is
     stable under corpus growth ONLY for the ranked prefix (unlike
     rate-based stratified_sample, which is fully append-stable but
-    yields a size only in expectation). One window per stratum, no
-    driver state."""
+    yields a size only in expectation).
+
+    Round 6 (plan only — output identical): the single window per
+    stratum funneled the stratum's ENTIRE population through one task (a
+    10^11-row ``en`` stratum at 100 TB -> one reducer). The ranking is
+    now two-phase: phase 1 ranks within ``(stratum, salt)`` — salt =
+    ``pmod(xxhash64(id), salts)``, deterministic per guide §2.5, never
+    ``rand()`` — and keeps each salt group's top ``n``; phase 2 ranks the
+    ≤ ``salts * n`` survivors per stratum. Every row in the stratum's
+    true top ``n`` is also in its own salt group's top ``n``, so phase 2
+    sees every final row and assigns exactly the ranks the single window
+    would have — while no task ever holds more than its partition share
+    of phase 1 or ``salts * n`` rows of phase 2."""
     u = F.md5(F.col(id_col).cast("string"))
-    w = W.partitionBy(stratum_col).orderBy(u, id_col)
-    return (docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(stratum_col).alias("stratum"),
-                        F.row_number().over(w).alias("rank"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(stratum_col).alias("stratum"),
+                       u.alias("_u"),
+                       F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salts)))
+                        .alias("_salt"))
+    w1 = W.partitionBy("stratum", "_salt").orderBy("_u", "doc_id")
+    pre = (base.withColumn("_r1", F.row_number().over(w1))
+           .where(F.col("_r1") <= n))
+    w2 = W.partitionBy("stratum").orderBy("_u", "doc_id")
+    return (pre.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= n)
             .select("doc_id", "stratum", F.col("rank").cast("long").alias("rank")))
 

@@ -106,8 +106,12 @@ def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
        the one the consumer actually needs (hash by ``s``)."""
     d = docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("ws"))
     d = d.where(F.size("ws") >= n)
+    # greatest(..., 0) keeps the expression total: sequence(0, negative)
+    # generates a DESCENDING range whose -1 crashes slice when codegen
+    # evaluates the gram array before the >= n filter drops the row (the
+    # row is still dropped; a clamped bogus gram on it is never observed)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - n),
+        F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
     if hashed:
         grams = F.transform(grams, lambda s: F.xxhash64(s))
@@ -116,28 +120,7 @@ def word_shingles(docs: DataFrame, n=3, text_col="text", id_col="doc_id",
 
 MAX_SHINGLE_DF_DEFAULT = 1000
 
-# inputs whose Catalyst size estimate is below this are repartitioned to the
-# default parallelism before per-row shingle work (a single small parquet
-# file yields 1-2 scan splits, serializing the whole narrow stage on a
-# many-core host); large inputs already arrive in enough splits and are
-# left untouched
-SPREAD_INPUT_MAX_BYTES = 1 << 30
-
-
-def _spread_small_input(df: DataFrame, max_bytes=SPREAD_INPUT_MAX_BYTES) -> DataFrame:
-    """Round-robin repartition a *small* input across the default
-    parallelism (no-op for inputs estimated above ``max_bytes`` or when
-    plan statistics are unavailable). Driver-side only — reads the
-    optimized plan's size estimate, runs no job. Downstream consumers
-    must not depend on row order (all ours aggregate)."""
-    try:
-        spark = df.sparkSession
-        target = spark.sparkContext.defaultParallelism
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
-                       .sizeInBytes()))
-    except Exception:
-        return df
-    return df.repartition(target) if size <= max_bytes else df
+from ..partitioning import spread_small_input as _spread_small_input  # noqa: E402
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n=3, threshold=0.2,

@@ -28,6 +28,15 @@ def get_spark(app_name="pdftabextract_spark", cores=None, shuffle_partitions=Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan split size (guide §6). Local default 16m: the sandbox's
+        # inputs are single parquet files of 6-130 MB whose scans would
+        # otherwise run 1-2 tasks wide on a 32-core host (splits are
+        # bounded below by row groups, so this cannot over-split).
+        # Production: set SPARK_GRAFT_MAX_PARTITION_BYTES to 128m-1g —
+        # large sequential scans want fewer, bigger map tasks, and at
+        # 100 TB a 16m split size would create millions of tasks.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one Arrow batch ~ a bounded number of pages/boxes per Python call

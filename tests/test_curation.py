@@ -308,3 +308,58 @@ def test_duplicate_passage_rate_within_doc_only_not_dup(spark):
            duplicate_passage_rate(docs, k=2).collect()}
     assert got[1]["dup_windows"] == 0 and got[1]["dup_rate"] == 0.0
     assert got[2]["dup_windows"] == 0
+
+
+# ------------------------------------------------- round 6 optimization gates
+
+def test_fixed_size_sample_two_phase_bounds_per_task_input(spark):
+    """VERDICT r5 item 2 gate: fixed_size_sample must NOT funnel a whole
+    stratum through one window task. The plan must contain the salted
+    pre-rank (two Window nodes, the first partitioned by the salt) and a
+    deliberately skewed stratum (one value owning ~all rows) must still
+    produce exactly the single-window answer."""
+    import hashlib as _h
+    from pdftabextract_spark.operators.curation import fixed_size_sample
+
+    # skew: 97% of rows in one stratum
+    rows = [(i, "t", "en" if i % 33 else "de", "s0") for i in range(600)]
+    docs = _docs(spark, rows)
+    out = fixed_size_sample(docs, n=7, salts=8)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "_salt" in plan, plan
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["stratum"], []).append((r["rank"], r["doc_id"]))
+    for stratum in ("en", "de"):
+        ids = [i for i in range(600)
+               if ("en" if i % 33 else "de") == stratum]
+        expect = sorted(
+            ids, key=lambda i: (_h.md5(str(i).encode()).hexdigest(), i))[:7]
+        assert sorted(got[stratum]) == [(k + 1, d)
+                                        for k, d in enumerate(expect)]
+
+
+def test_multi_consumer_cache_modes_identical(spark):
+    """The cache= hook on the multi-consumer shingle operators must not
+    change any value (it only materializes the shared stream)."""
+    from pdftabextract_spark.operators.curation import (
+        boilerplate_fraction, contamination, duplicate_passage_rate)
+
+    rows = [(i, " ".join("w%d" % ((i * 7 + j) % 23) for j in range(12)),
+             "en", "s0") for i in range(40)]
+    docs = _docs(spark, rows)
+    ev = _docs(spark, rows[:6])
+
+    def key(rs):
+        return sorted(tuple(r) for r in rs)
+
+    for mode in ("persist", "checkpoint"):
+        assert key(contamination(docs, ev, n=3, cache=mode).collect()) == \
+            key(contamination(docs, ev, n=3).collect())
+        assert key(boilerplate_fraction(docs, n=3, cache=mode).collect()) == \
+            key(boilerplate_fraction(docs, n=3).collect())
+        assert key(duplicate_passage_rate(docs, k=3, cache=mode).collect()) == \
+            key(duplicate_passage_rate(docs, k=3).collect())
