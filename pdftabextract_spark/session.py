@@ -28,15 +28,15 @@ def get_spark(app_name="pdftabextract_spark", cores=None, shuffle_partitions=Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # scan split size (guide §6). Local default 16m: the sandbox's
-        # inputs are single parquet files of 6-130 MB whose scans would
-        # otherwise run 1-2 tasks wide on a 32-core host (splits are
-        # bounded below by row groups, so this cannot over-split).
-        # Production: set SPARK_GRAFT_MAX_PARTITION_BYTES to 128m-1g —
-        # large sequential scans want fewer, bigger map tasks, and at
-        # 100 TB a 16m split size would create millions of tasks.
+        # scan split size (guide §6), parameterised for ops; default =
+        # Spark's 128m. A/B at the sf1.0 bench (round 6): 16m splits were
+        # equal-or-slower on every query (q12 0.276 vs 0.254, q17 0.66 vs
+        # 0.52 best-of-4) — the few-split small-file scans here are not
+        # scan-bound, and per-row-heavy operators spread small inputs
+        # explicitly (partitioning.spread_small_input) instead. At scale,
+        # raise toward 512m-1g for large sequential scans.
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one Arrow batch ~ a bounded number of pages/boxes per Python call
