@@ -94,31 +94,55 @@ def main():
 
     # merge bests per level across every logged invocation at this corpus
     # size (any level set), tracking hand-seeded records separately
-    best = {}          # cpus -> {wall, dps, spans}
+    best = {}          # cpus -> {wall, dps, spans, seeded}
+    best_measured = {}  # same, excluding hand-seeded records
     n_runs = n_seeded = 0
     with open(log_path) as f:
         for line in f:
             e = json.loads(line)
             if e.get("docs") != args.docs:
                 continue
-            if e.get("seeded"):
+            seeded = bool(e.get("seeded"))
+            if seeded:
                 n_seeded += 1
             else:
                 n_runs += 1
             for cpus, v in _entry_levels(e).items():
                 if cpus not in best or v["dps"] > best[cpus]["dps"]:
-                    best[cpus] = v
+                    best[cpus] = dict(v, seeded=seeded)
+                if not seeded and (cpus not in best_measured
+                                   or v["dps"] > best_measured[cpus]["dps"]):
+                    best_measured[cpus] = v
 
     curve = sorted(best.items())
     lo_c, lo_v = curve[0]
     hi_c, hi_v = curve[-1]
     merged_eff = (hi_v["dps"] / lo_v["dps"]) / (hi_c / lo_c)
 
+    # measured-only efficiency (ADVICE r5): the headline must not silently
+    # rest on a hand-transcribed record — report the script-produced curve
+    # alongside and star any seeded-sourced row in the table
+    m_curve = sorted(best_measured.items())
+    measured_eff = None
+    if len(m_curve) >= 2:
+        (mlo_c, mlo_v), (mhi_c, mhi_v) = m_curve[0], m_curve[-1]
+        measured_eff = (mhi_v["dps"] / mlo_v["dps"]) / (mhi_c / mlo_c)
+
     rows = "\n".join(
-        f"| local[{c}] | {v['wall']} | {v['dps']:,.0f} | {v['spans']:,} |"
+        f"| local[{c}] | {v['wall']} | {v['dps']:,.0f}"
+        f"{'*' if v.get('seeded') else ''} | {v['spans']:,} |"
         for c, v in curve)
     seed_note = (f" plus {n_seeded} hand-transcribed session record(s) "
-                 f"(marked `\"seeded\": true` in the jsonl)") if n_seeded else ""
+                 f"(marked `\"seeded\": true` in the jsonl; "
+                 f"`*` rows above are seeded-sourced)") if n_seeded else ""
+    measured_note = ""
+    if measured_eff is not None and any(v.get("seeded") for _, v in curve):
+        measured_note = (f"\nMeasured-only merged efficiency (seeded rows "
+                         f"excluded): **{measured_eff:.2f}** "
+                         f"(local[{m_curve[0][0]}] "
+                         f"{m_curve[0][1]['dps']:,.0f} -> "
+                         f"local[{m_curve[-1][0]}] "
+                         f"{m_curve[-1][1]['dps']:,.0f} docs/s).")
     latest = ", ".join(f"local[{c}] {v['dps']:,.0f} docs/s"
                        for c, v in sorted((int(k), v)
                                           for k, v in this_levels.items()))
@@ -131,7 +155,7 @@ def main():
 / core ratio {hi_c / lo_c:.0f}x): {merged_eff:.2f}.** Best rep per level
 merged across {n_runs} scale_bench invocation(s)
 (BENCH/scale_runs.jsonl; interleaved reps per level per invocation,
-fresh JVM per run) against hypervisor variance{seed_note}.
+fresh JVM per run) against hypervisor variance{seed_note}.{measured_note}
 Latest invocation (the regression signal): {latest},
 eff {eff:.2f} ({entry['ts']}).
 <!-- scale-table:end -->"""
