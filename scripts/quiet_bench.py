@@ -56,9 +56,13 @@ def main():
     ap.add_argument("--target-extract", type=float, default=3.7)
     ap.add_argument("--target-pages", type=float, default=80.0)
     ap.add_argument("--max-wait", type=int, default=600)
+    ap.add_argument("--log", default="r6_bench_runs.jsonl",
+                    help="jsonl filename under BENCH/ (round-specific so "
+                         "a new round never appends to a prior round's "
+                         "hashed record file)")
     args = ap.parse_args()
 
-    log = os.path.join(REPO, "BENCH", "r5_bench_runs.jsonl")
+    log = os.path.join(REPO, "BENCH", args.log)
     best = None
     for i in range(args.attempts):
         med = wait_for_window(args.bw_gate, args.max_wait)
