@@ -27,6 +27,16 @@ def get_spark(app_name="pdftabextract_spark", cores=None, shuffle_partitions=Non
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (round 6): raising
+        # spark.sql.adaptive.coalescePartitions.initialPartitionNum to 512
+        # was A/B'd and REJECTED as a default. It won ~8% on the sf1.0
+        # operator suite (finer AQE splits for the q18/q20 exchanges) but
+        # catastrophically regressed small sessions: the e2e pipelines'
+        # pandas-kernel stages ran all 512 tasks un-coalesced at cores=8
+        # (~107 ms fixed Python cost per task -> 2.2s extract became
+        # 22.4s), and the coalescing behavior across session shapes was
+        # not predictable enough to gate on. Revisit only with a
+        # per-exchange mechanism.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # scan split size (guide §6), parameterised for ops; default =
         # Spark's 128m. A/B at the sf1.0 bench (round 6): 16m splits were
